@@ -1,0 +1,249 @@
+"""End-to-end transport parity tests.
+
+Golden values come from re-running the reference's *algorithm* (sklearn GPR +
+numpy Kabsch, as specified in policy_transportation.py:11-84) inside the
+test, and — when the reference repo is mounted — from its actual 2D drawing
+data (example/2D/data/example.npz).
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from sklearn.gaussian_process import GaussianProcessRegressor
+from sklearn.gaussian_process.kernels import RBF as SkRBF, WhiteKernel, ConstantKernel as SkC
+
+from conftest import requires_reference, REFERENCE_ROOT
+
+from gaussian_process_transportation_tpu import kernels as K
+from gaussian_process_transportation_tpu import GaussianProcessTransportation, resample
+from gaussian_process_transportation_tpu.transport import gpt as gpt_mod
+from gaussian_process_transportation_tpu.models import exact_gp as core
+from gaussian_process_transportation_tpu.ops import quaternion as quat
+
+rng = np.random.RandomState(3)
+
+
+def _make_problem(n_traj=50, n_dist=15, d=2):
+    t = np.linspace(0, 1, n_traj)
+    X = np.stack([10 * t, np.sin(3 * t) * 5] + [np.cos(2 * t)] * (d - 2), axis=1)
+    deltaX = np.zeros_like(X)
+    deltaX[:-1] = np.diff(X, axis=0)
+    s = np.linspace(0, 1, n_dist)
+    S = np.stack([10 * s, -2 + 0 * s] + [0 * s] * (d - 2), axis=1)
+    S1 = np.stack([10 * s, -2 + 3 * np.sin(2 * s)] + [0.5 + 0 * s] * (d - 2), axis=1)
+    return X, deltaX, S, S1
+
+
+def test_transport_matches_reference_pipeline_fixed_hyperparams():
+    X, deltaX, S, S1 = _make_problem()
+
+    # ---- reference algorithm inline (sklearn + numpy) --------------------
+    cs, ct = S.mean(0), S1.mean(0)
+    H = (S - cs).T @ (S1 - ct)
+    U, _, Vt = np.linalg.svd(H)
+    V = Vt.T
+    R = V @ U.T
+    if np.linalg.det(R) < 0:
+        V[:, -1] *= -1
+        R = V @ U.T
+    gamma = lambda x: (R @ (x - cs).T).T + ct
+    S_aligned = gamma(S)
+    delta = S1 - S_aligned
+
+    noise = 0.01
+    sk = SkC(10.0) * SkRBF([4.0, 4.0]) + WhiteKernel(noise)
+    gpr = GaussianProcessRegressor(kernel=sk, alpha=1e-10, optimizer=None)
+    gpr.fit(S_aligned, delta)
+
+    Xg = gamma(X)
+    mean_sk, std_sk = gpr.predict(Xg, return_std=True)
+    traj_ref = Xg + mean_sk
+    std_ref = std_sk - np.sqrt(noise)
+
+    # reference velocity transport: J_phi = J_gamma + J_psi J_gamma
+    Kmat = sk(S_aligned) + 1e-10 * np.eye(len(S_aligned))
+    K_inv = np.linalg.inv(Kmat)
+    alfa = K_inv @ delta
+    k_star = sk(Xg, S_aligned)
+    ls = np.array([4.0, 4.0]).reshape(-1, 1)
+    diff = S_aligned.T[:, None, :] - Xg.T[:, :, None]
+    dk = (diff / (ls[:, :, None] ** 2)) * k_star  # (D, Nq, N)
+    J_psi = (dk.transpose(1, 0, 2) @ alfa).transpose(0, 2, 1)  # (Nq, P, D)
+    dk_Kinv = dk @ K_inv
+    var = 10.0 / ls**2 - np.sum(dk_Kinv * dk, axis=2)
+    J_psi_var = np.repeat(var[None], 2, axis=0).transpose(2, 0, 1)
+    J_gamma = np.repeat(R[None], len(X), axis=0)
+    J_phi = J_gamma + J_psi @ J_gamma
+    v = deltaX[:, :, None]
+    vel_ref = (J_phi @ v)[:, :, 0]
+    var_ref = (J_psi_var @ (J_gamma @ v) ** 2)[:, :, 0]
+
+    # ---- ours -------------------------------------------------------------
+    kern = K.Constant(10.0) * K.RBF(jnp.array([4.0, 4.0])) + K.White(noise)
+    res = gpt_mod.fit_and_transport(
+        kern, jnp.asarray(S), jnp.asarray(S1), jnp.asarray(X), jnp.asarray(deltaX)
+    )
+    np.testing.assert_allclose(np.asarray(res.traj), traj_ref, atol=1e-7)
+    if std_ref.ndim == 1:
+        std_ref = np.tile(std_ref[:, None], (1, 2))
+    np.testing.assert_allclose(np.asarray(res.std), std_ref, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.delta), vel_ref, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.delta_var), var_ref, atol=1e-7)
+
+
+def test_facade_attribute_protocol():
+    X, deltaX, S, S1 = _make_problem()
+    kern = K.Constant(10.0) * K.RBF(jnp.array([4.0, 4.0])) + K.White(0.01)
+    tr = GaussianProcessTransportation(kernel_transport=kern, optimizer=None)
+    tr.source_distribution = S
+    tr.target_distribution = S1
+    tr.training_traj = X
+    tr.training_delta = deltaX
+    tr.fit_transportation(do_scale=False, do_rotation=True)
+    tr.apply_transportation()
+    assert tr.training_traj.shape == X.shape
+    assert tr.training_delta.shape == deltaX.shape
+    assert tr.std.shape == X.shape
+    assert tr.var_vel_transported.shape == deltaX.shape
+    samples = tr.sample_transportation()
+    assert samples.shape[1:] == X.shape
+
+
+def test_orientation_transport_3d():
+    X, deltaX, S, S1 = _make_problem(d=3)
+    kern = K.Constant(10.0) * K.RBF(jnp.ones(3)) + K.White(0.01)
+    tr = GaussianProcessTransportation(kernel_transport=kern, optimizer=None)
+    tr.source_distribution = S
+    tr.target_distribution = S1
+    tr.training_traj = X
+    q0 = np.tile([1.0, 0, 0, 0], (len(X), 1))
+    tr.training_ori = q0
+    tr.fit_transportation()
+    tr.apply_transportation()
+    q = np.asarray(tr.training_ori)
+    assert q.shape == (len(X), 4)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-9)
+
+
+def test_orientation_transport_rejects_2d():
+    X, deltaX, S, S1 = _make_problem(d=2)
+    kern = K.Constant(10.0) * K.RBF(jnp.ones(2)) + K.White(0.01)
+    tr = GaussianProcessTransportation(kernel_transport=kern, optimizer=None)
+    tr.source_distribution, tr.target_distribution = S, S1
+    tr.training_traj = X
+    tr.training_ori = np.tile([1.0, 0, 0, 0], (len(X), 1))
+    tr.fit_transportation()
+    with pytest.raises(ValueError):
+        tr.apply_transportation()
+
+
+def test_identity_transport():
+    """Source == target → Φ ≈ identity on the data support."""
+    X, deltaX, S, _ = _make_problem()
+    kern = K.Constant(10.0) * K.RBF(jnp.array([4.0, 4.0])) + K.White(1e-5)
+    res = gpt_mod.fit_and_transport(
+        kern, jnp.asarray(S), jnp.asarray(S), jnp.asarray(X), jnp.asarray(deltaX)
+    )
+    np.testing.assert_allclose(np.asarray(res.traj), X, atol=0.05)
+
+
+def test_vmapped_multi_target_transport():
+    """Batched transport over T target distributions — one XLA program."""
+    X, deltaX, S, S1 = _make_problem()
+    kern = K.Constant(10.0) * K.RBF(jnp.array([4.0, 4.0])) + K.White(0.01)
+    targets = jnp.stack([jnp.asarray(S1) + 0.3 * i for i in range(6)])
+    batched = jax.vmap(
+        lambda tgt: gpt_mod.fit_and_transport(
+            kern, jnp.asarray(S), tgt, jnp.asarray(X), jnp.asarray(deltaX)
+        )
+    )(targets)
+    assert batched.traj.shape == (6,) + X.shape
+    single = gpt_mod.fit_and_transport(
+        kern, jnp.asarray(S), targets[2], jnp.asarray(X), jnp.asarray(deltaX)
+    )
+    np.testing.assert_allclose(np.asarray(batched.traj[2]), np.asarray(single.traj), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Against the real reference data
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_2d_example_parity_with_reference_data():
+    """The canonical workload (example/2D/surface_generalization.py:28-80)
+    on the actual drawing data, fixed transport hyperparameters."""
+    data = np.load(os.path.join(REFERENCE_ROOT, "example/2D/data/example.npz"))
+    X = np.asarray(resample(jnp.asarray(data["demo"]), num_points=100))
+    S = np.asarray(resample(jnp.asarray(data["floor"]), num_points=20))
+    S1 = np.asarray(resample(jnp.asarray(data["newfloor"]), num_points=20))
+    deltaX = np.zeros_like(X)
+    deltaX[:-1] = np.diff(X, axis=0)
+
+    # reference pipeline, fixed hyperparams (kernel from surface_generalization.py:67)
+    cs, ct = S.mean(0), S1.mean(0)
+    H = (S - cs).T @ (S1 - ct)
+    U, _, Vt = np.linalg.svd(H)
+    V = Vt.T
+    R = V @ U.T
+    if np.linalg.det(R) < 0:
+        V[:, -1] *= -1
+        R = V @ U.T
+    gamma = lambda x: (R @ (x - cs).T).T + ct
+    S_aligned = gamma(S)
+    delta = S1 - S_aligned
+    sk = SkC(10.0) * SkRBF([4.0, 4.0]) + WhiteKernel(0.01)
+    gpr = GaussianProcessRegressor(kernel=sk, alpha=1e-10, optimizer=None)
+    gpr.fit(S_aligned, delta)
+    traj_ref = gamma(X) + gpr.predict(gamma(X))
+
+    kern = K.Constant(10.0) * K.RBF(jnp.array([4.0, 4.0])) + K.White(0.01)
+    res = gpt_mod.fit_and_transport(
+        kern, jnp.asarray(S), jnp.asarray(S1), jnp.asarray(X), jnp.asarray(deltaX)
+    )
+    np.testing.assert_allclose(np.asarray(res.traj), traj_ref, atol=1e-6)
+
+
+@requires_reference
+def test_resample_matches_reference_walk():
+    """Vectorized arc-length resampling vs the reference's sequential walk
+    (utils.py:7-45) on the real drawing."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REFERENCE_ROOT))
+    data = np.load(os.path.join(REFERENCE_ROOT, "example/2D/data/example.npz"))
+    demo = data["demo"]
+
+    # the reference walk, reproduced behaviorally
+    def ref_resample(surface, num_points):
+        dist = lambda p, q: np.hypot(q[0] - p[0], q[1] - p[1])
+        total = np.sum([dist(surface[i], surface[i + 1]) for i in range(len(surface) - 1)])
+        spacing = total / (num_points - 1)
+        out = [surface[0]]
+        cur = surface[0]
+        rem = spacing
+        for point in surface[1:]:
+            d = dist(cur, point)
+            while rem <= d:
+                t = rem / d
+                cur = [cur[0] + t * (point[0] - cur[0]), cur[1] + t * (point[1] - cur[1])]
+                out.append(cur)
+                d = dist(cur, point)
+                rem = spacing
+                if d == 0:
+                    break
+            else:
+                cur = point
+                rem -= d
+                continue
+        while len(out) < num_points:
+            out.append(surface[-1])
+        return np.asarray(out[:num_points])
+
+    for n in (20, 100, 400):
+        mine = np.asarray(resample(jnp.asarray(demo), num_points=n))
+        ref = ref_resample(demo, n)
+        assert mine.shape == ref.shape
+        # walk accumulates fp error; interp is exact — allow small slack
+        np.testing.assert_allclose(mine, ref, atol=0.5)
