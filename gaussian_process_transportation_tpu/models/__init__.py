@@ -13,6 +13,12 @@ from .exact_gp import (
 )
 from .gp_regressor import GaussianProcess
 from .affine import AffineTransform
+from .kmp import KMP
+from .laplacian_editing import LaplacianEditing
+from .mlp import MLP, EnsembleMLP
+from .flows import BijectiveNetwork, EnsembleBijectiveNetwork
+from .random_forest import EnsembleRandomForest
+from .svgp import StochasticVariationalGaussianProcess
 
 __all__ = [
     "ExactGP",
@@ -28,4 +34,12 @@ __all__ = [
     "white_noise_level",
     "GaussianProcess",
     "AffineTransform",
+    "KMP",
+    "LaplacianEditing",
+    "MLP",
+    "EnsembleMLP",
+    "BijectiveNetwork",
+    "EnsembleBijectiveNetwork",
+    "EnsembleRandomForest",
+    "StochasticVariationalGaussianProcess",
 ]

@@ -1,0 +1,433 @@
+"""Hamiltonian Monte Carlo over GP kernel hyperparameters, mesh-sharded.
+
+The reference point-estimates hyperparameters (sklearn L-BFGS restarts) and
+searches one lengthscale bound with Optuna
+(``transportation/gaussian_process_transportation_diffeomorphic.py:123-167``).
+Here the full posterior p(θ | data) ∝ exp(LML(θ)) · prior(θ) is sampled:
+
+* ``hmc``  — leapfrog HMC with dual-averaging step-size adaptation and
+  diagonal mass-matrix (Welford) warm-up, all inside one ``lax.scan`` jit.
+* ``nuts`` — iterative No-U-Turn sampler (fixed max tree depth, multinomial
+  sampling across the trajectory), same adaptation.
+* ``sample_gp_posterior`` — convenience: chains over the GP marginal
+  likelihood, vmapped over the chain axis and sharded over the mesh's
+  'ens' axis; cross-chain diagnostics (split-R̂, ESS) computed on device.
+
+Chains are embarrassingly parallel — C chains on a mesh communicate only
+at the final diagnostics reduction, so scaling to a pod is a sharding
+annotation, not new code.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+class HMCState(NamedTuple):
+    position: Array
+    log_prob: Array
+    grad: Array
+
+
+def _leapfrog(logprob_and_grad, position, momentum, grad, step_size, inv_mass, n_steps):
+    def body(carry, _):
+        q, p, g = carry
+        p = p + 0.5 * step_size * g
+        q = q + step_size * inv_mass * p
+        lp, g = logprob_and_grad(q)
+        p = p + 0.5 * step_size * g
+        return (q, p, g), lp
+
+    (q, p, g), lps = jax.lax.scan(body, (position, momentum, grad), None, length=n_steps)
+    return q, p, g, lps[-1]
+
+
+def _dual_averaging_init(step_size0):
+    return dict(
+        log_step=jnp.log(step_size0),
+        log_step_avg=jnp.log(step_size0),
+        h_avg=jnp.asarray(0.0),
+        mu=jnp.log(10.0 * step_size0),
+        t=jnp.asarray(0.0),
+    )
+
+
+def _dual_averaging_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0, kappa=0.75):
+    t = state["t"] + 1.0
+    h_avg = (1.0 - 1.0 / (t + t0)) * state["h_avg"] + (target - accept_prob) / (t + t0)
+    log_step = state["mu"] - jnp.sqrt(t) / gamma * h_avg
+    eta = t ** (-kappa)
+    log_step_avg = eta * log_step + (1.0 - eta) * state["log_step_avg"]
+    return dict(log_step=log_step, log_step_avg=log_step_avg, h_avg=h_avg, mu=state["mu"], t=t)
+
+
+def hmc(
+    logprob_fn: Callable[[Array], Array],
+    init_position: Array,
+    key: Array,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    num_leapfrog: int = 16,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> Tuple[Array, dict]:
+    """Single-chain HMC; returns (samples (num_samples, D), info)."""
+    lp_and_grad = jax.value_and_grad(logprob_fn)
+
+    def safe_lp_and_grad(q):
+        lp, g = lp_and_grad(q)
+        bad = ~jnp.isfinite(lp)
+        lp = jnp.where(bad, -1e10, lp)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return lp, g
+
+    lp0, g0 = safe_lp_and_grad(init_position)
+    D = init_position.shape[0]
+
+    def one_step(state, key, step_size, inv_mass):
+        k_mom, k_acc = jax.random.split(key)
+        p0 = jax.random.normal(k_mom, (D,)) / jnp.sqrt(inv_mass)
+        q, p, g, lp = _leapfrog(
+            safe_lp_and_grad, state.position, p0, state.grad, step_size, inv_mass, num_leapfrog
+        )
+        ke0 = 0.5 * jnp.sum(p0 * p0 * inv_mass)
+        ke1 = 0.5 * jnp.sum(p * p * inv_mass)
+        log_accept = (lp - ke1) - (state.log_prob - ke0)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
+        accept = jax.random.uniform(k_acc) < accept_prob
+        new_state = HMCState(
+            position=jnp.where(accept, q, state.position),
+            log_prob=jnp.where(accept, lp, state.log_prob),
+            grad=jnp.where(accept, g, state.grad),
+        )
+        return new_state, accept_prob
+
+    # ---- warmup: dual averaging + Welford variance for diagonal mass ----
+    def warmup_step(carry, key):
+        state, da, mean, m2, count, inv_mass = carry
+        step_size = jnp.exp(da["log_step"])
+        state, accept_prob = one_step(state, key, step_size, inv_mass)
+        da = _dual_averaging_update(da, accept_prob, target=target_accept)
+        # Welford
+        count += 1.0
+        delta = state.position - mean
+        mean = mean + delta / count
+        m2 = m2 + delta * (state.position - mean)
+        return (state, da, mean, m2, count, inv_mass), accept_prob
+
+    state0 = HMCState(init_position, lp0, g0)
+    da0 = _dual_averaging_init(initial_step_size)
+    carry = (state0, da0, jnp.zeros(D), jnp.zeros(D), jnp.asarray(0.0), jnp.ones(D))
+
+    half = num_warmup // 2
+    keys_w1 = jax.random.split(jax.random.fold_in(key, 0), half)
+    carry, _ = jax.lax.scan(warmup_step, carry, keys_w1)
+    # set mass from first-half variance, reset Welford, continue
+    state, da, mean, m2, count, _ = carry
+    var = m2 / jnp.maximum(count - 1.0, 1.0)
+    inv_mass = jnp.clip(var, 1e-4, 1e4)
+    da = _dual_averaging_init(jnp.exp(da["log_step_avg"]))
+    carry = (state, da, jnp.zeros(D), jnp.zeros(D), jnp.asarray(0.0), inv_mass)
+    keys_w2 = jax.random.split(jax.random.fold_in(key, 1), num_warmup - half)
+    carry, _ = jax.lax.scan(warmup_step, carry, keys_w2)
+    state, da, _, _, _, inv_mass = carry
+    step_size = jnp.exp(da["log_step_avg"])
+
+    # ---- sampling ----
+    def sample_step(state, key):
+        state, accept_prob = one_step(state, key, step_size, inv_mass)
+        return state, (state.position, accept_prob)
+
+    keys_s = jax.random.split(jax.random.fold_in(key, 2), num_samples)
+    state, (samples, accept_probs) = jax.lax.scan(sample_step, state, keys_s)
+    info = dict(
+        step_size=step_size,
+        inv_mass=inv_mass,
+        mean_accept=jnp.mean(accept_probs),
+    )
+    return samples, info
+
+
+def nuts(
+    logprob_fn: Callable[[Array], Array],
+    init_position: Array,
+    key: Array,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    max_depth: int = 8,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> Tuple[Array, dict]:
+    """Iterative No-U-Turn sampler (multinomial, Hoffman & Gelman 2014 /
+    Betancourt 2017 style) with the same warm-up as :func:`hmc`.
+
+    The doubling tree is built iteratively under ``lax.while_loop`` with a
+    fixed ``max_depth`` so the program is shape-static for XLA.
+    """
+    lp_and_grad = jax.value_and_grad(logprob_fn)
+
+    def safe_lp_and_grad(q):
+        lp, g = lp_and_grad(q)
+        bad = ~jnp.isfinite(lp)
+        lp = jnp.where(bad, -1e10, lp)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return lp, g
+
+    D = init_position.shape[0]
+
+    def energy(lp, p, inv_mass):
+        return -lp + 0.5 * jnp.sum(p * p * inv_mass)
+
+    def one_step(state, key, step_size, inv_mass):
+        """One NUTS transition via iterative doubling."""
+        k_mom, k_dir, k_mult = jax.random.split(key, 3)
+        p0 = jax.random.normal(k_mom, (D,)) / jnp.sqrt(inv_mass)
+        H0 = energy(state.log_prob, p0, inv_mass)
+
+        # tree state: endpoints (q,p,g) left/right, proposal, log weight
+        init = dict(
+            q_l=state.position, p_l=p0, g_l=state.grad,
+            q_r=state.position, p_r=p0, g_r=state.grad,
+            q_prop=state.position, lp_prop=state.log_prob, g_prop=state.grad,
+            log_w=-H0,
+            sum_p=p0,
+            depth=0,
+            turning=False,
+            diverged=False,
+            key=jax.random.fold_in(k_mult, 0),
+            sum_accept=jnp.asarray(0.0),
+            n_leapfrog=jnp.asarray(0.0),
+        )
+
+        def cond(t):
+            return (~t["turning"]) & (~t["diverged"]) & (t["depth"] < max_depth)
+
+        def body(t):
+            key = jax.random.fold_in(t["key"], t["depth"])
+            k_d, k_sel, k_nxt = jax.random.split(key, 3)
+            go_right = jax.random.bernoulli(k_d)
+
+            # Build a subtree of 2^depth leapfrog steps in the chosen
+            # direction, accumulating a multinomial proposal.
+            n_steps = 2 ** jnp.minimum(t["depth"], max_depth)
+
+            def leap(carry, _):
+                q, p, g, log_w, q_p, lp_p, g_p, sum_a, n_l, sum_p, div, key_in = carry
+                eps = jnp.where(go_right, step_size, -step_size)
+                p_half = p + 0.5 * eps * g
+                q_new = q + eps * inv_mass * p_half
+                lp_new, g_new = safe_lp_and_grad(q_new)
+                p_new = p_half + 0.5 * eps * g_new
+                H = energy(lp_new, p_new, inv_mass)
+                dH = H0 - H
+                div = div | (dH < -1000.0)
+                w_new = dH  # log weight of this point
+                # multinomial: keep new point with prob w_new/(w_tot)
+                log_w_tot = jnp.logaddexp(log_w, w_new)
+                k_sel2, key_out = jax.random.split(key_in)
+                take = jnp.log(jax.random.uniform(k_sel2)) < (w_new - log_w_tot)
+                q_p = jnp.where(take, q_new, q_p)
+                lp_p = jnp.where(take, lp_new, lp_p)
+                g_p = jnp.where(take, g_new, g_p)
+                sum_a += jnp.minimum(1.0, jnp.exp(dH))
+                n_l += 1.0
+                sum_p = sum_p + p_new
+                return (q_new, p_new, g_new, log_w_tot, q_p, lp_p, g_p, sum_a, n_l, sum_p, div, key_out), None
+
+            q0 = jnp.where(go_right, t["q_r"], t["q_l"])
+            p0_ = jnp.where(go_right, t["p_r"], t["p_l"])
+            g0_ = jnp.where(go_right, t["g_r"], t["g_l"])
+            carry0 = (
+                q0, p0_, g0_, -jnp.inf,
+                t["q_prop"], t["lp_prop"], t["g_prop"],
+                t["sum_accept"], t["n_leapfrog"], t["sum_p"], t["diverged"], k_sel,
+            )
+            # NOTE: n_steps is dynamic; use fori_loop over max 2^max_depth
+            # with masking is wasteful — instead scan 2^depth via switch on
+            # static depth values.
+            def make_scan(n):
+                def run(c):
+                    c_out, _ = jax.lax.scan(leap, c, None, length=n)
+                    return c_out
+                return run
+
+            branches = [make_scan(2**d) for d in range(max_depth)]
+            c_out = jax.lax.switch(jnp.minimum(t["depth"], max_depth - 1), branches, carry0)
+            (q_e, p_e, g_e, log_w_sub, q_p, lp_p, g_p, sum_a, n_l, sum_p, div, _) = c_out
+
+            # combine subtree with main tree (multinomial between trees)
+            log_w_tot = jnp.logaddexp(t["log_w"], log_w_sub)
+            take_sub = jnp.log(jax.random.uniform(k_sel)) < (log_w_sub - log_w_tot)
+            q_prop = jnp.where(take_sub, q_p, t["q_prop"])
+            lp_prop = jnp.where(take_sub, lp_p, t["lp_prop"])
+            g_prop = jnp.where(take_sub, g_p, t["g_prop"])
+
+            q_l = jnp.where(go_right, t["q_l"], q_e)
+            p_l = jnp.where(go_right, t["p_l"], p_e)
+            g_l = jnp.where(go_right, t["g_l"], g_e)
+            q_r = jnp.where(go_right, q_e, t["q_r"])
+            p_r = jnp.where(go_right, p_e, t["p_r"])
+            g_r = jnp.where(go_right, g_e, t["g_r"])
+
+            dq = q_r - q_l
+            turning = (jnp.dot(dq, inv_mass * p_l) < 0) | (jnp.dot(dq, inv_mass * p_r) < 0)
+
+            return dict(
+                q_l=q_l, p_l=p_l, g_l=g_l, q_r=q_r, p_r=p_r, g_r=g_r,
+                q_prop=q_prop, lp_prop=lp_prop, g_prop=g_prop,
+                log_w=log_w_tot, sum_p=sum_p,
+                depth=t["depth"] + 1, turning=turning, diverged=div,
+                key=k_nxt, sum_accept=sum_a, n_leapfrog=n_l,
+            )
+
+        t = jax.lax.while_loop(cond, body, init)
+        accept_stat = t["sum_accept"] / jnp.maximum(t["n_leapfrog"], 1.0)
+        new_state = HMCState(t["q_prop"], t["lp_prop"], t["g_prop"])
+        return new_state, accept_stat
+
+    # ---- same two-window warmup as hmc ----
+    lp0, g0 = safe_lp_and_grad(init_position)
+    state0 = HMCState(init_position, lp0, g0)
+
+    def warmup_step(carry, key):
+        state, da, mean, m2, count, inv_mass = carry
+        step_size = jnp.exp(da["log_step"])
+        state, accept_prob = one_step(state, key, step_size, inv_mass)
+        da = _dual_averaging_update(da, accept_prob, target=target_accept)
+        count += 1.0
+        delta = state.position - mean
+        mean = mean + delta / count
+        m2 = m2 + delta * (state.position - mean)
+        return (state, da, mean, m2, count, inv_mass), accept_prob
+
+    da0 = _dual_averaging_init(initial_step_size)
+    carry = (state0, da0, jnp.zeros(D), jnp.zeros(D), jnp.asarray(0.0), jnp.ones(D))
+    half = num_warmup // 2
+    carry, _ = jax.lax.scan(warmup_step, carry, jax.random.split(jax.random.fold_in(key, 0), half))
+    state, da, mean, m2, count, _ = carry
+    var = m2 / jnp.maximum(count - 1.0, 1.0)
+    inv_mass = jnp.clip(var, 1e-4, 1e4)
+    da = _dual_averaging_init(jnp.exp(da["log_step_avg"]))
+    carry = (state, da, jnp.zeros(D), jnp.zeros(D), jnp.asarray(0.0), inv_mass)
+    carry, _ = jax.lax.scan(warmup_step, carry, jax.random.split(jax.random.fold_in(key, 1), num_warmup - half))
+    state, da, _, _, _, inv_mass = carry
+    step_size = jnp.exp(da["log_step_avg"])
+
+    def sample_step(state, key):
+        state, a = one_step(state, key, step_size, inv_mass)
+        return state, (state.position, a)
+
+    state, (samples, accepts) = jax.lax.scan(
+        sample_step, state, jax.random.split(jax.random.fold_in(key, 2), num_samples)
+    )
+    return samples, dict(step_size=step_size, inv_mass=inv_mass, mean_accept=jnp.mean(accepts))
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics
+# ---------------------------------------------------------------------------
+
+def split_rhat(chains: Array) -> Array:
+    """Split-R̂ per dimension.  chains: (C, S, D) → (D,)."""
+    C, S, D = chains.shape
+    half = S // 2
+    x = chains[:, : 2 * half, :].reshape(C * 2, half, D)
+    m = x.mean(axis=1)  # (2C, D)
+    w = x.var(axis=1, ddof=1).mean(axis=0)  # within
+    b = half * m.var(axis=0, ddof=1)  # between
+    var_plus = (half - 1) / half * w + b / half
+    return jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
+
+
+def effective_sample_size(chains: Array, max_lag: int = 100) -> Array:
+    """Bulk ESS per dimension via autocorrelation (Geyer initial positive
+    sequence, truncated).  chains: (C, S, D) → (D,)."""
+    C, S, D = chains.shape
+    x = chains - chains.mean(axis=1, keepdims=True)
+    max_lag = min(max_lag, S - 1)
+
+    den = jnp.mean(x * x, axis=(0, 1))
+    t_idx = jnp.arange(S)
+
+    def rho_at(lag):
+        # roll+mask keeps shapes static so `lag` can be traced under vmap
+        y = jnp.roll(x, -lag, axis=1)
+        mask = (t_idx < S - lag)[None, :, None]
+        num = jnp.sum(x * y * mask, axis=(0, 1)) / jnp.maximum(
+            C * (S - lag), 1
+        )
+        return num / jnp.maximum(den, 1e-30)
+
+    rhos = jax.vmap(rho_at)(jnp.arange(1, max_lag + 1))  # (L, D)
+    positive = jnp.cumprod(rhos > -0.05, axis=0).astype(rhos.dtype)
+    tau = 1.0 + 2.0 * jnp.sum(rhos * positive, axis=0)
+    return C * S / jnp.maximum(tau, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# GP hyperparameter posterior, sharded chains
+# ---------------------------------------------------------------------------
+
+def sample_gp_posterior(
+    kernel,
+    X: Array,
+    Y: Array,
+    key: Array,
+    num_chains: int = 8,
+    num_warmup: int = 300,
+    num_samples: int = 300,
+    algorithm: str = "hmc",
+    mesh: Optional[Mesh] = None,
+    jitter: float = 1e-10,
+    **kw,
+):
+    """Sample p(θ | X, Y) ∝ exp(LML) with a flat prior inside the kernel's
+    log-bounds (matching the search region of the reference's restarts).
+
+    Chains vmap over the leading axis; with a mesh they shard over 'ens'.
+    Returns (samples (C, S, n_theta), diagnostics dict).
+    """
+    from ..models.exact_gp import log_marginal_likelihood
+
+    bounds = kernel.theta_bounds
+    lo, hi = bounds[:, 0], bounds[:, 1]
+
+    def logprob(theta):
+        lml = log_marginal_likelihood(kernel.with_theta(theta), X, Y, jitter)
+        # smooth barrier keeping chains inside the bounds
+        barrier = jnp.sum(
+            jax.nn.softplus(-(theta - lo) * 20.0) + jax.nn.softplus((theta - hi) * 20.0)
+        )
+        return lml - 100.0 * barrier
+
+    k_init, k_run = jax.random.split(key)
+    u = jax.random.uniform(k_init, (num_chains, lo.shape[0]))
+    inits = lo + u * (hi - lo) * 0.5 + 0.25 * (hi - lo)  # central half of the box
+    chain_keys = jax.random.split(k_run, num_chains)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("ens"))
+        inits = jax.device_put(inits, sh)
+        chain_keys = jax.device_put(chain_keys, sh)
+
+    sampler = hmc if algorithm == "hmc" else nuts
+    run = jax.jit(
+        jax.vmap(
+            lambda q0, k: sampler(
+                logprob, q0, k, num_warmup=num_warmup, num_samples=num_samples, **kw
+            )
+        )
+    )
+    samples, info = run(inits, chain_keys)
+    diags = dict(
+        rhat=split_rhat(samples),
+        ess=effective_sample_size(samples),
+        mean_accept=info["mean_accept"],
+    )
+    return samples, diags

@@ -1,4 +1,31 @@
 from .core import PolicyTransport
 from .gpt import GaussianProcessTransportation
+from .variants import (
+    AffineTransportation,
+    KMPTransport,
+    LaplacianEditingTransport,
+    MLPTransport,
+    RandomForestTransport,
+    NeuralTransport,
+    EnsembleNeuralTransport,
+    BijectiveTransport,
+    EnsembleBijectiveTransport,
+    SVGPTransport,
+    finite_difference_jacobian,
+)
 
-__all__ = ["PolicyTransport", "GaussianProcessTransportation"]
+__all__ = [
+    "PolicyTransport",
+    "GaussianProcessTransportation",
+    "AffineTransportation",
+    "KMPTransport",
+    "LaplacianEditingTransport",
+    "MLPTransport",
+    "RandomForestTransport",
+    "NeuralTransport",
+    "EnsembleNeuralTransport",
+    "BijectiveTransport",
+    "EnsembleBijectiveTransport",
+    "SVGPTransport",
+    "finite_difference_jacobian",
+]

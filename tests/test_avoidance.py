@@ -1,0 +1,215 @@
+"""Obstacle-avoidance modulation: geometric invariants + golden checks
+against the reference's formulas (obstacle_avoidance_Linear_DS.py,
+plot_utils.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussian_process_transportation_tpu.avoidance import (
+    Obstacles,
+    gamma,
+    modulation_bases,
+    obstacle_weights,
+    directional_weighted_sum,
+    modulation_matrix_spherical,
+    modulation_matrix_elliptic,
+    modulate_multiple,
+    avoid,
+    rollout,
+)
+
+rng = np.random.RandomState(2)
+
+
+def circle_obstacle(center=(0.0, 0.0), radius=2.0):
+    return Obstacles.from_dicts(
+        [
+            {
+                "shape": "ellipse",
+                "center": np.asarray(center, float),
+                "reference_point": np.zeros(2),
+                "axis_length": np.array([2 * radius, 2 * radius]),
+                "orientation": 0,
+                "margin": 0.0,
+                "repulsion_coeff": 1.0,
+                "linear_velocity": np.zeros(2),
+                "angular_velocity": None,
+            }
+        ]
+    )
+
+
+def test_gamma_circle_analytic():
+    """For a circle of radius r: Γ = |x| − r + 1 outside."""
+    obs = circle_obstacle(radius=2.0)
+    pts = np.array([[4.0, 0.0], [0.0, 3.0], [5.0, 5.0]])
+    g = np.asarray(gamma(obs, jnp.asarray(pts)))[0]
+    expected = np.linalg.norm(pts, axis=1) - 2.0 + 1.0
+    np.testing.assert_allclose(g, expected, atol=1e-9)
+    # inside: Γ = |x|/r < 1  (reference: distance_zeta/distance_surface − 1 + 1)
+    inside = np.array([[1.0, 0.0]])
+    gi = np.asarray(gamma(obs, jnp.asarray(inside)))[0]
+    np.testing.assert_allclose(gi, 0.5, atol=1e-9)
+
+
+def test_gamma_cuboid_outside():
+    obs = Obstacles.from_dicts(
+        [
+            {
+                "shape": "cuboid",
+                "center": np.zeros(2),
+                "axis_length": np.array([2.0, 2.0]),
+                "orientation": 0,
+                "margin": 0.0,
+            }
+        ]
+    )
+    pts = np.array([[3.0, 0.0], [0.0, 4.0]])
+    g = np.asarray(gamma(obs, jnp.asarray(pts)))[0]
+    np.testing.assert_allclose(g, [3.0, 4.0], atol=1e-9)  # face dist + 1
+
+
+def test_obstacle_weights_normalize_and_saturate():
+    obs = Obstacles.from_dicts(
+        [
+            {"shape": "ellipse", "center": np.array([0.0, 0.0]), "axis_length": np.array([2.0, 2.0])},
+            {"shape": "ellipse", "center": np.array([10.0, 0.0]), "axis_length": np.array([2.0, 2.0])},
+        ]
+    )
+    pts = np.array([[1.2, 0.0], [5.0, 0.0], [8.9, 0.0]])
+    g = gamma(obs, jnp.asarray(pts))
+    w = np.asarray(obstacle_weights(g))
+    np.testing.assert_allclose(w.sum(axis=0), 1.0, atol=1e-9)
+    assert w[0, 0] > 0.95  # near obstacle 0 → its weight dominates
+    assert w[1, 2] > 0.95
+
+
+def test_spherical_modulation_impermeability():
+    """At the boundary, M v has no radial (outward-normal) component —
+    λ₁ = 1 − (r/d)² → 0."""
+    center = jnp.zeros(2)
+    r = 2.0
+    theta = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    boundary = (r + 1e-9) * np.stack([np.cos(theta), np.sin(theta)], 1)
+    M = modulation_matrix_spherical(jnp.asarray(boundary), center, r)
+    v = jnp.asarray(rng.randn(16, 2))
+    out = (M @ v[:, :, None])[:, :, 0]
+    radial = np.sum(np.asarray(out) * boundary / r, axis=1)
+    np.testing.assert_allclose(radial, 0.0, atol=1e-6)
+
+
+def test_spherical_modulation_far_field_identity():
+    M = modulation_matrix_spherical(jnp.asarray([[500.0, 0.0]]), jnp.zeros(2), 2.0)
+    np.testing.assert_allclose(np.asarray(M[0]), np.eye(2), atol=1e-4)
+
+
+def test_elliptic_modulation_matches_reference_formula():
+    """Golden check vs the reference implementation (plot_utils.py:135-161)."""
+    center = np.array([[1.0], [2.0]])
+    r1, r2, m = 3.0, 2.0, 4
+
+    def ref(state):
+        M = np.zeros((state.shape[0], 2, 2))
+        q = state.T - center
+        gx = (m / r1**m) * np.power(q[[0], :], m - 1)
+        gy = (m / r2**m) * np.power(q[[1], :], m - 1)
+        grad = np.append(gx, gy, axis=0)
+        for i in range(state.shape[0]):
+            n = grad[:, [i]]
+            e = np.cross(np.vstack((n, [0])).reshape(-1), np.array([0, 0, 1]))
+            E = np.hstack((n, e[0:2].reshape(n.shape)))
+            d = (q[0, i] / r1) ** m + (q[1, i] / r2) ** m
+            D = np.diag([1 - 1 / abs(d), 1 + 1 / abs(d)])
+            M[i] = E @ D @ np.linalg.inv(E)
+        return M
+
+    state = rng.randn(10, 2) * 5 + np.array([6.0, 6.0])
+    expected = ref(state)
+    got = np.asarray(
+        modulation_matrix_elliptic(jnp.asarray(state), jnp.asarray(center.ravel()), r1, r2, m)
+    )
+    np.testing.assert_allclose(got, expected, atol=1e-8)
+
+
+def test_multi_obstacle_modulation_impermeability():
+    obs = circle_obstacle(radius=2.0)
+    theta = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+    boundary = 2.000001 * np.stack([np.cos(theta), np.sin(theta)], 1)
+    M = modulate_multiple(obs, jnp.asarray(boundary))
+    v = jnp.asarray(rng.randn(12, 2))
+    out = (M @ v[:, :, None])[:, :, 0]
+    radial = np.sum(np.asarray(out) * boundary / 2.0, axis=1)
+    np.testing.assert_allclose(radial, 0.0, atol=1e-5)
+
+
+def test_avoid_far_field_identity():
+    obs = circle_obstacle(radius=2.0)
+    x = jnp.asarray([[3000.0, 1000.0]])  # modulation decays as 1/Γ
+    v = jnp.asarray([[1.0, -0.5]])
+    out = np.asarray(avoid(obs, x, v))
+    np.testing.assert_allclose(out, np.asarray(v), atol=1e-3)
+
+
+def test_avoid_deflects_head_on():
+    obs = circle_obstacle(center=(5.0, 0.0), radius=1.5)
+    x = jnp.asarray([[2.0, 0.01]])
+    v = jnp.asarray([[1.0, 0.0]])
+    out = np.asarray(avoid(obs, x, v))[0]
+    assert abs(out[1]) > 1e-3  # deflected off the collision course
+    assert np.isfinite(out).all()
+
+
+def test_rollout_avoids_obstacle():
+    """Linear DS toward a goal with one obstacle in between: the rolled-out
+    trajectory must not penetrate the obstacle."""
+    obs = circle_obstacle(center=(5.0, 0.0), radius=1.5)
+    goal = jnp.asarray([10.0, 0.0])
+
+    def velocity_fn(x):
+        return 0.15 * (goal[None, :] - x)
+
+    def modulation_fn(x):
+        return modulate_multiple(obs, x)
+
+    x0 = jnp.asarray([[0.0, 0.3]])
+    traj = np.asarray(rollout(velocity_fn, modulation_fn, x0, n_steps=150))
+    d = np.linalg.norm(traj[:, 0, :] - np.array([5.0, 0.0]), axis=1)
+    assert d.min() > 1.35, d.min()  # stays (numerically) outside
+    assert np.linalg.norm(traj[-1, 0] - np.array([10.0, 0.0])) < 0.5  # reaches goal
+
+
+def test_directional_weighted_sum_basics():
+    null = jnp.asarray([1.0, 0.0])
+    # single full-weight direction → returned unchanged
+    d = jnp.asarray([[0.0], [1.0]])
+    out = np.asarray(directional_weighted_sum(null, d, jnp.asarray([1.0])))
+    np.testing.assert_allclose(out, [0.0, 1.0], atol=1e-9)
+    # symmetric ±45° with equal weights → null direction
+    dirs = jnp.asarray(np.stack([[np.cos(0.7), np.sin(0.7)], [np.cos(-0.7), np.sin(-0.7)]], axis=1))
+    out = np.asarray(directional_weighted_sum(null, dirs, jnp.asarray([0.5, 0.5])))
+    np.testing.assert_allclose(out, [1.0, 0.0], atol=1e-9)
+
+
+def test_directional_weighted_sum_3d():
+    null = jnp.asarray([0.0, 0.0, 1.0])
+    dirs = jnp.asarray([[1.0, -1.0], [0.0, 0.0], [0.0, 0.0]])
+    out = np.asarray(directional_weighted_sum(null, dirs, jnp.asarray([0.5, 0.5])))
+    np.testing.assert_allclose(out, [0.0, 0.0, 1.0], atol=1e-9)
+
+
+def test_batched_rollout_many_agents():
+    """50-agent rollout (the reference's dynamic_modulation_2019.py demo)
+    as one program."""
+    obs = circle_obstacle(center=(5.0, 0.0), radius=1.5)
+    goal = jnp.asarray([10.0, 0.0])
+    x0 = jnp.asarray(np.stack([np.zeros(50), np.linspace(-3, 3, 50)], axis=1))
+    traj = rollout(
+        lambda x: 0.2 * (goal[None] - x),
+        lambda x: modulate_multiple(obs, x),
+        x0,
+        n_steps=100,
+    )
+    assert traj.shape == (100, 50, 2)
+    d = np.linalg.norm(np.asarray(traj) - np.array([5.0, 0.0]), axis=2)
+    assert d.min() > 1.3
