@@ -1,0 +1,10 @@
+from .multi_frame import MultipleReferenceFramesGPT, ablation_study
+from .comparison import run_comparison
+from .statistics import mann_whitney_ranking
+
+__all__ = [
+    "MultipleReferenceFramesGPT",
+    "ablation_study",
+    "run_comparison",
+    "mann_whitney_ranking",
+]

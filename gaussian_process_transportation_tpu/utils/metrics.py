@@ -146,9 +146,18 @@ def gaussian_kl_divergence(mean_p: Array, std_p: Array, mean_q: Array, std_q: Ar
 def weighted_distribution_distance(
     mean_p: Array, std_p: Array, mean_q: Array, std_q: Array
 ) -> Array:
-    """Uncertainty-weighted mean distance between two transported
-    trajectory distributions (``compute_trajectories_divergence.py:26-46``
-    flavor: distance normalized by combined std)."""
-    d = jnp.linalg.norm(mean_p - mean_q, axis=1)
-    s = jnp.linalg.norm(std_p + std_q, axis=1) + 1e-12
-    return jnp.mean(d / s) * jnp.mean(d)
+    """Exact parity with the comparison suite's ``compute_distance``
+    (``compute_trajectories_divergence.py:26-46``): per point,
+    sqrt(Σ_d Δ_d²/σ1_d² + Δ_d²/σ2_d²), averaged over the trajectory."""
+    d2 = (mean_p - mean_q) ** 2
+    per_point = jnp.sqrt(jnp.sum(d2 / std_p**2 + d2 / std_q**2, axis=1))
+    return jnp.mean(per_point)
+
+
+@jax.jit
+def comparison_euclidean_distance(mean_p: Array, mean_q: Array) -> Array:
+    """Exact parity with ``compute_distance_euclidean`` (``:49-69``) —
+    note the reference doubles the squared difference, so this equals
+    √2 · mean ‖Δ‖."""
+    d2 = (mean_p - mean_q) ** 2
+    return jnp.mean(jnp.sqrt(jnp.sum(2.0 * d2, axis=1)))
