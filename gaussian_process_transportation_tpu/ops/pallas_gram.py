@@ -1,0 +1,156 @@
+"""Pallas TPU kernels for the GP hot path.
+
+The dense-grid posterior-mean predict (the reference's 100×100-grid
+vector-field evaluation, ``plot_utils.py:181-207`` — 10⁴ queries × N
+training points) is ``k(X*, X) @ α``.  Done naively, the (Nq, N) Gram is
+materialized in HBM (write + read ≈ 2·Nq·N·4 bytes).  ``fused_gp_predict_mean``
+computes each query tile's Gram block in VMEM and immediately contracts it
+with α, so the Gram never touches HBM — flash-attention-style fusion for
+GP regression.
+
+``rbf_gram`` is the tiled Gram builder for when the full matrix IS needed
+(conditioning/Cholesky input).
+
+Kernels assume the C·RBF(+White) family (the reference's transport kernel);
+ARD lengthscales fold into the inputs by pre-scaling.  Off-TPU the kernels
+run in interpret mode so CPU tests exercise the same code path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mean_kernel(xq_ref, x_ref, alpha_ref, amp_ref, mean_ref):
+    """Grid step (i, j): query tile i × training chunk j.
+
+    xq_ref: (TM, D) scaled queries; x_ref: (TK, D) scaled training points;
+    alpha_ref: (TK, P); amp_ref: (1, 1) SMEM; mean_ref: (TM, P) accumulator.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        mean_ref[:] = jnp.zeros_like(mean_ref)
+
+    xq = xq_ref[:]
+    x = x_ref[:]
+    xx = jnp.sum(xq * xq, axis=1)[:, None]
+    zz = jnp.sum(x * x, axis=1)[None, :]
+    cross = jnp.dot(xq, x.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(xx + zz - 2.0 * cross, 0.0)
+    k = amp_ref[0, 0] * jnp.exp(-0.5 * d2)  # (TM, TK)
+    mean_ref[:] += jnp.dot(k, alpha_ref[:], preferred_element_type=jnp.float32)
+
+
+def fused_gp_predict_mean(
+    Xq: Array,
+    X: Array,
+    alpha: Array,
+    lengthscale: Array,
+    amplitude,
+    tile_q: int = 256,
+    tile_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Posterior mean k(X*,X) α for a C·RBF(+White) GP without ever
+    materializing the Gram in HBM.  Returns (Nq, P) float32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    Nq, D = Xq.shape
+    N, P = alpha.shape
+    dtype = jnp.float32
+
+    ls = jnp.atleast_1d(jnp.asarray(lengthscale)).astype(dtype)
+    Xq_s = (Xq / ls).astype(dtype)
+    X_s = (X / ls).astype(dtype)
+
+    Nq_p = _round_up(max(Nq, 8), tile_q)
+    N_p = _round_up(max(N, 8), tile_k)
+    Xq_pad = jnp.zeros((Nq_p, D), dtype).at[:Nq].set(Xq_s)
+    # pad training points far away so their kernel value underflows to 0
+    X_pad = jnp.full((N_p, D), 1e6, dtype).at[:N].set(X_s)
+    alpha_pad = jnp.zeros((N_p, P), dtype).at[:N].set(jnp.asarray(alpha, dtype))
+    amp = jnp.asarray([[amplitude]], dtype)
+
+    grid = (Nq_p // tile_q, N_p // tile_k)
+    mean = pl.pallas_call(
+        _mean_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, P), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_q, P), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Nq_p, P), dtype),
+        interpret=interpret,
+    )(Xq_pad, X_pad, alpha_pad, amp)
+    return mean[:Nq]
+
+
+def rbf_gram(
+    X: Array,
+    Z: Array,
+    lengthscale: Array,
+    amplitude,
+    tile: int = 256,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Tiled RBF Gram amp·exp(−½‖x/ℓ − z/ℓ‖²): (N, M) float32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    N, D = X.shape
+    M = Z.shape[0]
+    dtype = jnp.float32
+    ls = jnp.atleast_1d(jnp.asarray(lengthscale)).astype(dtype)
+    Xs = (X / ls).astype(dtype)
+    Zs = (Z / ls).astype(dtype)
+    N_p, M_p = _round_up(max(N, 8), tile), _round_up(max(M, 8), tile)
+    X_pad = jnp.full((N_p, D), 1e6, dtype).at[:N].set(Xs)
+    Z_pad = jnp.full((M_p, D), -1e6, dtype).at[:M].set(Zs)
+    amp = jnp.asarray([[amplitude]], dtype)
+
+    def kernel(x_ref, z_ref, amp_ref, out_ref):
+        x = x_ref[:]
+        z = z_ref[:]
+        xx = jnp.sum(x * x, 1)[:, None]
+        zz = jnp.sum(z * z, 1)[None, :]
+        cross = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+        out_ref[:] = amp_ref[0, 0] * jnp.exp(
+            -0.5 * jnp.maximum(xx + zz - 2 * cross, 0.0)
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(N_p // tile, M_p // tile),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_p, M_p), dtype),
+        interpret=interpret,
+    )(X_pad, Z_pad, amp)
+    return out[:N, :M]

@@ -1,0 +1,57 @@
+"""Pallas kernels (interpret mode on CPU; same code compiles on TPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussian_process_transportation_tpu.ops import pallas_gram
+from gaussian_process_transportation_tpu import kernels as K
+
+rng = np.random.RandomState(12)
+
+
+def test_rbf_gram_matches_reference_kernel():
+    X = jnp.asarray(rng.randn(50, 2), jnp.float32)
+    Z = jnp.asarray(rng.randn(37, 2), jnp.float32)
+    ls = jnp.asarray([1.5, 0.7], jnp.float32)
+    amp = 2.5
+    got = np.asarray(pallas_gram.rbf_gram(X, Z, ls, amp, tile=16, interpret=True))
+    expected = np.asarray((K.Constant(amp) * K.RBF(ls))(X, Z))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_fused_predict_mean_matches_dense():
+    N, Nq, D, P = 90, 70, 2, 2
+    X = jnp.asarray(rng.randn(N, D), jnp.float32)
+    Xq = jnp.asarray(rng.randn(Nq, D), jnp.float32)
+    alpha = jnp.asarray(rng.randn(N, P), jnp.float32)
+    ls = jnp.asarray([1.0, 2.0], jnp.float32)
+    amp = 3.0
+    got = np.asarray(
+        pallas_gram.fused_gp_predict_mean(
+            Xq, X, alpha, ls, amp, tile_q=16, tile_k=32, interpret=True
+        )
+    )
+    k = np.asarray((K.Constant(amp) * K.RBF(ls))(Xq, X))
+    expected = k @ np.asarray(alpha)
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_fused_predict_mean_agrees_with_exact_gp():
+    """End-to-end: the fused kernel must reproduce models.exact_gp.predict."""
+    from gaussian_process_transportation_tpu.models import exact_gp as core
+
+    N, D, P = 60, 2, 2
+    X = rng.randn(N, D).astype(np.float32)
+    Y = np.stack([np.sin(X[:, 0]), np.cos(X[:, 1])], 1).astype(np.float32)
+    Xq = rng.randn(25, D).astype(np.float32)
+    kern = K.Constant(2.0) * K.RBF(jnp.asarray([1.0, 1.0])) + K.White(0.05)
+    gp = core.condition(kern, jnp.asarray(X), jnp.asarray(Y))
+    expected = np.asarray(core.predict(gp, jnp.asarray(Xq)))
+    got = np.asarray(
+        pallas_gram.fused_gp_predict_mean(
+            jnp.asarray(Xq), gp.X, gp.alpha, jnp.asarray([1.0, 1.0]), 2.0,
+            tile_q=16, tile_k=32, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4)
