@@ -1,10 +1,18 @@
 from .multi_frame import MultipleReferenceFramesGPT, ablation_study
 from .comparison import run_comparison
 from .statistics import mann_whitney_ranking
+from .baselines import (
+    MultipleReferenceFramesDMP,
+    MultipleReferenceFramesTPGMM,
+    MultipleReferenceFramesHMM,
+)
 
 __all__ = [
     "MultipleReferenceFramesGPT",
     "ablation_study",
     "run_comparison",
     "mann_whitney_ranking",
+    "MultipleReferenceFramesDMP",
+    "MultipleReferenceFramesTPGMM",
+    "MultipleReferenceFramesHMM",
 ]
