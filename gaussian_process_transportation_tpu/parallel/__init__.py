@@ -4,6 +4,8 @@ from .ensemble import (
     posterior_transport_ensemble,
     make_ensemble_train_step,
 )
+from .samplers import hmc, nuts, sample_gp_posterior, split_rhat, effective_sample_size
+from . import smc
 
 __all__ = [
     "make_mesh",
@@ -12,4 +14,10 @@ __all__ = [
     "transport_ensemble",
     "posterior_transport_ensemble",
     "make_ensemble_train_step",
+    "hmc",
+    "nuts",
+    "sample_gp_posterior",
+    "split_rhat",
+    "effective_sample_size",
+    "smc",
 ]

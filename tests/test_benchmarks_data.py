@@ -175,3 +175,47 @@ def test_mann_whitney_ranking():
     bad = np.abs(np.random.RandomState(1).randn(50)) * 10 + 1
     ranked = mann_whitney_ranking({"good": good, "bad": bad})
     assert ranked[0][0] == "good" and ranked[0][1] < ranked[1][1]
+
+
+def test_drawing_recorder_programmatic(tmp_path):
+    from gaussian_process_transportation_tpu.data.drawing import DrawingRecorder
+
+    rec = DrawingRecorder(interactive=False)
+    t = np.linspace(0, 1, 30)
+    rec.feed(np.stack([t * 10, np.sin(t)], 1))
+    rec.mark_demo()
+    rec.feed(np.stack([t * 10, -np.ones_like(t)], 1))
+    rec.mark_floor()
+    rec.feed(np.stack([t * 10, -1 + np.sin(2 * t)], 1))
+    rec.mark_newfloor()
+    path = str(tmp_path / "drawn.npz")
+    rec.save(path)
+    data = np.load(path)
+    assert data["demo"].shape == (30, 2)
+    assert data["floor"].shape == (30, 2)
+    assert data["newfloor"].shape == (30, 2)
+
+
+@requires_reference
+def test_robot_analysis_on_committed_artifacts():
+    """The reference commits the cleaning experiment's recorded target
+    distributions; the analysis matrices must reproduce on them."""
+    from gaussian_process_transportation_tpu.data import robot_analysis as ra
+    from scipy.spatial import distance as sp_dist
+
+    sets = ra.load_recorded_distributions(
+        "/root/reference/robot_experiments/results/cleaning"
+    )
+    assert len(sets) >= 2
+    out = ra.distribution_distance_matrices(sets[:3])
+    n = min(3, len(sets))
+    for key in ("hausdorff", "chamfer"):
+        M = out[key]
+        assert M.shape == (n, n)
+        np.testing.assert_allclose(np.diag(M), 0.0, atol=1e-9)
+    # golden check vs scipy directed_hausdorff (reference line 137)
+    expected = max(
+        sp_dist.directed_hausdorff(sets[0], sets[1])[0],
+        sp_dist.directed_hausdorff(sets[1], sets[0])[0],
+    )
+    np.testing.assert_allclose(out["hausdorff"][0, 1], expected, rtol=1e-9)
