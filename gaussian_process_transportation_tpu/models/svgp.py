@@ -242,6 +242,121 @@ def fit(
     return SVGPState(params=params, kernel=kernel, jitter=jitter)
 
 
+def fit_natgrad(
+    kernel: Kernel,
+    X: Array,
+    Y: Array,
+    num_inducing: int = 100,
+    num_epochs: int = 100,
+    batch_size: int = 128,
+    learning_rate: float = 0.01,
+    nat_step: float = 0.5,
+    key: Optional[Array] = None,
+    jitter: float = 1e-6,
+    noise_init: float = 0.1,
+) -> SVGPState:
+    """SVGP training with NATURAL-gradient variational updates.
+
+    With a Gaussian likelihood the per-batch optimal natural parameters of
+    q(w) = N(m, S) (whitened, prior N(0, I)) are closed-form:
+
+        Λ* = I + (N/B)/σ² · A Aᵀ,   h* = (N/B)/σ² · A y_b,   A = L_K⁻¹ K_zx
+
+    so the stochastic natural-gradient step is a convex combination in
+    natural-parameter space, λ ← (1−ρ)λ + ρλ*, while kernel
+    hyperparameters / inducing locations / noise follow Adam on the ELBO.
+    Converges in far fewer passes than Adam-only on the variational
+    parameters (Hensman 2013 §3; the "natural-gradient option" of
+    SURVEY.md §7.4)."""
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y if Y.ndim == 2 else Y[:, None])
+    N = X.shape[0]
+    T = Y.shape[1]
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_init, k_perm = jax.random.split(key)
+    params = init_params(kernel, X, Y, num_inducing, k_init, noise_init)
+    M = params.Z.shape[1]
+
+    # natural parameters per task: Λ (M, M) precision, h (M,) linear
+    Lam = jnp.tile(jnp.eye(M)[None], (T, 1, 1))
+    h = jnp.zeros((T, M))
+
+    batch_size = min(batch_size, N)
+    steps_per_epoch = N // batch_size
+    sched = jax.vmap(
+        lambda k: jax.random.permutation(k, N)[: steps_per_epoch * batch_size].reshape(
+            steps_per_epoch, batch_size
+        )
+    )(jax.random.split(k_perm, num_epochs)).reshape(-1, batch_size)
+
+    opt = optax.adam(learning_rate)
+    hyper = (params.theta, params.Z, params.raw_noise)
+
+    def nat_to_moment(Lam_t, h_t):
+        S = jnp.linalg.inv(Lam_t)
+        m = S @ h_t
+        L = jnp.linalg.cholesky(add_diagonal(S, 1e-10))
+        # encode back into the raw-softplus-diag form used by the ELBO
+        diag = jnp.diagonal(L)
+        raw_diag = jnp.log(jnp.expm1(jnp.maximum(diag, 1e-10)))
+        L_raw = jnp.tril(L, -1) + jnp.diag(raw_diag)
+        return m, L_raw
+
+    @jax.jit
+    def train(hyper, Lam, h, sched):
+        opt_state = opt.init(hyper)
+
+        def step(carry, idx):
+            hyper, Lam, h, opt_state = carry
+            theta, Z, raw_noise = hyper
+            noise = jax.nn.softplus(raw_noise)
+            xb, yb = X[idx], Y[idx]
+
+            # ---- natural-gradient update of (Λ, h) per task -------------
+            def nat_update(theta_t, Z_t, Lam_t, h_t, y_t):
+                k = kernel.with_theta(theta_t)
+                Kmm = add_diagonal(k(Z_t), jitter)
+                Lk = jnp.linalg.cholesky(Kmm)
+                A = tri_solve_lower(Lk, k(Z_t, xb))  # (M, B)
+                scale = (N / xb.shape[0]) / noise
+                Lam_star = jnp.eye(M) + scale * (A @ A.T)
+                h_star = scale * (A @ y_t)
+                return (1 - nat_step) * Lam_t + nat_step * Lam_star, (
+                    1 - nat_step
+                ) * h_t + nat_step * h_star
+
+            Lam, h = jax.vmap(nat_update)(theta, Z, Lam, h, yb.T)
+            m_w, L_raw = jax.vmap(nat_to_moment)(Lam, h)
+
+            # ---- Adam on hyperparameters against the ELBO ---------------
+            def neg_elbo(hyp):
+                th, Zh, rn = hyp
+                p = SVGPParams(theta=th, Z=Zh, m_w=m_w, L_w_raw=L_raw, raw_noise=rn)
+                return -elbo(kernel, p, xb, yb, N, jitter)
+
+            loss, g = jax.value_and_grad(neg_elbo)(hyper)
+            updates, opt_state = opt.update(g, opt_state, hyper)
+            hyper = optax.apply_updates(hyper, updates)
+            return (hyper, Lam, h, opt_state), loss
+
+        (hyper, Lam, h, _), losses = jax.lax.scan(step, (hyper, Lam, h, opt_state), sched)
+        return hyper, Lam, h, losses
+
+    hyper, Lam, h, losses = train(hyper, Lam, h, sched)
+    theta, Z, raw_noise = hyper
+    m_w, L_raw = jax.vmap(
+        lambda Lt, ht: (jnp.linalg.inv(Lt) @ ht,
+                        _raw_from_chol(jnp.linalg.cholesky(add_diagonal(jnp.linalg.inv(Lt), 1e-10))))
+    )(Lam, h)
+    params = SVGPParams(theta=theta, Z=Z, m_w=m_w, L_w_raw=L_raw, raw_noise=raw_noise)
+    return SVGPState(params=params, kernel=kernel, jitter=jitter)
+
+
+def _raw_from_chol(L: Array) -> Array:
+    diag = jnp.diagonal(L)
+    return jnp.tril(L, -1) + jnp.diag(jnp.log(jnp.expm1(jnp.maximum(diag, 1e-10))))
+
+
 # ---------------------------------------------------------------------------
 # Collapse to exact GP + posteriors (parity with component #9)
 # ---------------------------------------------------------------------------

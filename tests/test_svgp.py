@@ -126,3 +126,25 @@ def test_wrapper_interface():
     assert J.shape == (8, 2, 2) and Jvar.shape == (8, 2, 2)
     s = m.samples(xq, n_samples=5)
     assert s.shape == (5, 8, 2)
+
+
+def test_natgrad_converges_faster_per_pass():
+    """Natural-gradient variational updates must reach a better ELBO than
+    Adam-only in the same (small) number of epochs."""
+    N = 300
+    X = np.linspace(0, 2 * np.pi, N)[:, None]
+    Y = np.stack([np.cos(X[:, 0]), np.sin(X[:, 0])], axis=1) + 0.05 * rng.randn(N, 2)
+    kernel = K.Constant(1.0) * K.RBF(jnp.ones(1))
+    common = dict(num_inducing=30, num_epochs=10, batch_size=100, key=jax.random.PRNGKey(0))
+    s_adam = svgp.fit(kernel, jnp.asarray(X), jnp.asarray(Y), learning_rate=0.05, **common)
+    s_nat = svgp.fit_natgrad(kernel, jnp.asarray(X), jnp.asarray(Y), learning_rate=0.05, **common)
+    e_adam = float(svgp.elbo(kernel, s_adam.params, jnp.asarray(X), jnp.asarray(Y), N, 1e-6))
+    e_nat = float(svgp.elbo(kernel, s_nat.params, jnp.asarray(X), jnp.asarray(Y), N, 1e-6))
+    assert e_nat > e_adam, (e_nat, e_adam)
+    # and the collapsed posterior is accurate
+    c = svgp.collapse(s_nat)
+    xq = np.linspace(0.3, 2 * np.pi - 0.3, 40)[:, None]
+    mean, std = svgp.posterior_f(c, jnp.asarray(xq))
+    truth = np.stack([np.cos(xq[:, 0]), np.sin(xq[:, 0])], axis=1)
+    assert np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)) < 0.1
+    assert np.isfinite(np.asarray(std)).all()
