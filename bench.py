@@ -31,16 +31,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _np_resample(curve, num_points):
+    """Numpy arc-length resample — keeps workload prep off the device (the
+    TPU tunnel can stall for minutes; the bench must not touch it before
+    the measured section)."""
+    curve = np.asarray(curve, np.float64)
+    seg = np.linalg.norm(np.diff(curve, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    targets = np.linspace(0.0, cum[-1], num_points)
+    return np.stack(
+        [np.interp(targets, cum, curve[:, d]) for d in range(curve.shape[1])], axis=1
+    )
+
+
 def make_workload(dtype=np.float32, n_traj=400, n_dist=20):
     ref = "/root/reference/example/2D/data/example.npz"
     if os.path.exists(ref):
-        import jax.numpy as jnp
-        from gaussian_process_transportation_tpu.utils import resample
-
         data = np.load(ref)
-        X = np.asarray(resample(jnp.asarray(data["demo"]), num_points=n_traj), dtype)
-        S = np.asarray(resample(jnp.asarray(data["floor"]), num_points=n_dist), dtype)
-        S1 = np.asarray(resample(jnp.asarray(data["newfloor"]), num_points=n_dist), dtype)
+        X = np.asarray(_np_resample(data["demo"], n_traj), dtype)
+        S = np.asarray(_np_resample(data["floor"], n_dist), dtype)
+        S1 = np.asarray(_np_resample(data["newfloor"], n_dist), dtype)
     else:
         t = np.linspace(0, 1, n_traj, dtype=dtype)
         X = np.stack([10 * t, 5 * np.sin(3 * t)], 1)

@@ -36,10 +36,15 @@ DEFAULT_BOUNDS = (1e-5, 1e5)
 
 
 def _sqdist(X: Array, Z: Array) -> Array:
-    """Pairwise squared Euclidean distances via the matmul expansion (MXU)."""
+    """Pairwise squared Euclidean distances via the matmul expansion (MXU).
+
+    The cross term MUST run at float32 matmul precision: TPUs default to
+    bfloat16 MXU passes, whose ~8-bit mantissa on workspace-scale
+    coordinates (|x| ~ 50 → x² ~ 2500) corrupts the Gram enough to lose
+    positive-definiteness — Cholesky then NaNs the entire pipeline."""
     xx = jnp.sum(X * X, axis=-1)[:, None]
     zz = jnp.sum(Z * Z, axis=-1)[None, :]
-    xz = X @ Z.T
+    xz = jnp.dot(X, Z.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(xx + zz - 2.0 * xz, 0.0)
 
 

@@ -36,6 +36,10 @@ from ..ops.linalg import (
     tri_solve_lower,
 )
 
+# GP posterior algebra must not run through TPU bf16 MXU passes — the
+# accumulated error is far above the "within-MC-error" parity gate.
+_HI = jax.lax.Precision.HIGHEST
+
 Array = jax.Array
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -111,7 +115,7 @@ def predict(
     (``models/gaussian_process.py:49``).
     """
     k_star = gp.kernel(x, gp.X)  # cross-cov: White contributes zeros
-    mean = k_star @ gp.alpha
+    mean = jnp.dot(k_star, gp.alpha, precision=_HI)
     if not return_std:
         return mean
     V = tri_solve_lower(gp.L, k_star.T)  # (N, Nq)
@@ -127,9 +131,9 @@ def predict(
 def predict_cov(gp: ExactGP, x: Array) -> Tuple[Array, Array]:
     """Posterior mean and full covariance (shared across outputs)."""
     k_star = gp.kernel(x, gp.X)
-    mean = k_star @ gp.alpha
+    mean = jnp.dot(k_star, gp.alpha, precision=_HI)
     V = tri_solve_lower(gp.L, k_star.T)
-    cov = gp.kernel(x) - V.T @ V
+    cov = gp.kernel(x) - jnp.dot(V.T, V, precision=_HI)
     return mean, cov
 
 
@@ -142,7 +146,7 @@ def sample_y(gp: ExactGP, x: Array, key: Array, n_samples: int = 10) -> Array:
     mean, cov = predict_cov(gp, x)
     L = jnp.linalg.cholesky(add_diagonal(cov, 1e-8))
     eps = jax.random.normal(key, (n_samples, x.shape[0], mean.shape[1]), mean.dtype)
-    return mean[None] + jnp.einsum("ij,sjp->sip", L, eps)
+    return mean[None] + jnp.einsum("ij,sjp->sip", L, eps, precision=_HI)
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +165,7 @@ def jacobian(
     for C*RBF.
     """
     dk = gp.kernel.dx(x, gp.X)  # (Nq, N, D) = ∂k(x_i, X_n)/∂x_i
-    mean = jnp.einsum("qnd,np->qpd", dk, gp.alpha)
+    mean = jnp.einsum("qnd,np->qpd", dk, gp.alpha, precision=_HI)
     if not return_var:
         return mean
     dkT = jnp.transpose(dk, (2, 1, 0))  # (D, N, Nq)
@@ -182,7 +186,7 @@ def variance_gradient(gp: ExactGP, x: Array) -> Array:
     k_star = gp.kernel(x, gp.X)  # (Nq, N)
     dk = gp.kernel.dx(x, gp.X)  # (Nq, N, D)
     Kinv_k = cho_solve_lower(gp.L, k_star.T)  # (N, Nq)
-    return -2.0 * jnp.einsum("qnd,nq->qd", dk, Kinv_k)
+    return -2.0 * jnp.einsum("qnd,nq->qd", dk, Kinv_k, precision=_HI)
 
 
 # ---------------------------------------------------------------------------

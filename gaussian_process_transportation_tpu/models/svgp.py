@@ -36,6 +36,8 @@ import numpy as np
 import optax
 from flax import struct
 
+_HI = jax.lax.Precision.HIGHEST
+
 from ..kernels import Kernel, RBF, White, Constant
 from ..ops.linalg import add_diagonal, cho_solve_lower, tri_solve_lower
 
@@ -149,9 +151,9 @@ def _task_elbo(
     Lk = jnp.linalg.cholesky(Kmm)
     Kmx = k(Z_t, x)  # (M, B)
     A = tri_solve_lower(Lk, Kmx)  # (M, B)
-    mu = A.T @ m_w  # (B,)
+    mu = jnp.dot(A.T, m_w, precision=_HI)  # (B,)
     Lw = _tril_with_softplus_diag(L_w_raw)
-    SA = Lw.T @ A  # (M, B)
+    SA = jnp.dot(Lw.T, A, precision=_HI)  # (M, B)
     kxx = k.diag(x)
     qvar = kxx - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
     qvar = jnp.maximum(qvar, 1e-12)
@@ -393,9 +395,9 @@ def posterior_f(c: CollapsedSVGP, x: Array) -> Tuple[Array, Array]:
     def per_task(theta_t, Z_t, alpha_t, Lk_t, Lw_t):
         k = c.kernel.with_theta(theta_t)
         k_star = k(x, Z_t)  # (Nq, M)
-        mean = k_star @ alpha_t
+        mean = jnp.dot(k_star, alpha_t, precision=_HI)
         a = tri_solve_lower(Lk_t, k_star.T)  # (M, Nq)
-        b = Lw_t.T @ a  # (M, Nq)
+        b = jnp.dot(Lw_t.T, a, precision=_HI)  # (M, Nq)
         var = k.diag(x) - jnp.sum(a * a, axis=0) + jnp.sum(b * b, axis=0)
         return mean, jnp.sqrt(jnp.maximum(var, 0.0))
 
@@ -414,11 +416,11 @@ def posterior_f_prime(c: CollapsedSVGP, x: Array) -> Tuple[Array, Array]:
     def per_task(theta_t, Z_t, alpha_t, Lk_t, Lw_t):
         k = c.kernel.with_theta(theta_t)
         dk = k.dx(x, Z_t)  # (Nq, M, D)
-        mean = jnp.einsum("qmd,m->qd", dk, alpha_t)
+        mean = jnp.einsum("qmd,m->qd", dk, alpha_t, precision=_HI)
         # a_d = L_K⁻¹ dk_dᵀ per derivative direction d
         dkT = jnp.transpose(dk, (2, 1, 0))  # (D, M, Nq)
         a = jax.vmap(lambda B: tri_solve_lower(Lk_t, B))(dkT)  # (D, M, Nq)
-        b = jnp.einsum("mr,dmq->drq", Lw_t, a)  # (D, M, Nq)
+        b = jnp.einsum("mr,dmq->drq", Lw_t, a, precision=_HI)  # (D, M, Nq)
         quad = jnp.sum(a * a, axis=1) - jnp.sum(b * b, axis=1)  # (D, Nq)
         prior = k.dxdz_diag(x)  # (Nq, D)
         var = jnp.maximum(prior - quad.T, 0.0)
@@ -434,10 +436,10 @@ def sample_f(c: CollapsedSVGP, x: Array, key: Array, n_samples: int = 10) -> Arr
     def per_task(theta_t, Z_t, alpha_t, Lk_t, Lw_t, k_t):
         k = c.kernel.with_theta(theta_t)
         k_star = k(x, Z_t)
-        mean = k_star @ alpha_t
+        mean = jnp.dot(k_star, alpha_t, precision=_HI)
         a = tri_solve_lower(Lk_t, k_star.T)  # (M, Nq)
-        b = Lw_t.T @ a
-        cov = k(x) - a.T @ a + b.T @ b
+        b = jnp.dot(Lw_t.T, a, precision=_HI)
+        cov = k(x) - jnp.dot(a.T, a, precision=_HI) + jnp.dot(b.T, b, precision=_HI)
         L = jnp.linalg.cholesky(add_diagonal(cov, 1e-8))
         eps = jax.random.normal(k_t, (n_samples, x.shape[0]))
         return mean[None] + eps @ L.T

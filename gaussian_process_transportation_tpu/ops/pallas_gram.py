@@ -56,10 +56,12 @@ def _mean_kernel(xq_ref, x_ref, alpha_ref, amp_ref, mean_ref):
     x = x_ref[:]
     xx = jnp.sum(xq * xq, axis=1)[:, None]
     zz = jnp.sum(x * x, axis=1)[None, :]
-    cross = jnp.dot(xq, x.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(xq, x.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(xx + zz - 2.0 * cross, 0.0)
     k = amp_ref[0, 0] * jnp.exp(-0.5 * d2)  # (TM, TK)
-    mean_ref[:] += jnp.dot(k, alpha_ref[:], preferred_element_type=jnp.float32)
+    mean_ref[:] += jnp.dot(k, alpha_ref[:], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
 
 def fused_gp_predict_mean(
@@ -136,7 +138,8 @@ def rbf_gram(
         z = z_ref[:]
         xx = jnp.sum(x * x, 1)[:, None]
         zz = jnp.sum(z * z, 1)[None, :]
-        cross = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(x, z.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         out_ref[:] = amp_ref[0, 0] * jnp.exp(
             -0.5 * jnp.maximum(xx + zz - 2 * cross, 0.0)
         )

@@ -71,3 +71,11 @@ def test_metrics_recorder(tmp_path):
 
     data = json.load(open(tmp_path / "metrics.json"))
     assert len(data["loss"]) == 2 and "time/block" in data
+
+
+def test_package_sets_accurate_matmul_precision():
+    """Importing the package must pin float32-accurate matmuls: TPU bf16
+    MXU passes corrupt the Gram matrix into non-PSD (Cholesky NaNs)."""
+    import gaussian_process_transportation_tpu  # noqa: F401
+
+    assert str(jax.config.jax_default_matmul_precision) == "highest"
