@@ -5,6 +5,8 @@ from .baselines import (
     MultipleReferenceFramesDMP,
     MultipleReferenceFramesTPGMM,
     MultipleReferenceFramesHMM,
+    MultipleReferenceFramesKMP,
+    MultipleReferenceFramesLE,
 )
 
 __all__ = [
@@ -15,4 +17,6 @@ __all__ = [
     "MultipleReferenceFramesDMP",
     "MultipleReferenceFramesTPGMM",
     "MultipleReferenceFramesHMM",
+    "MultipleReferenceFramesKMP",
+    "MultipleReferenceFramesLE",
 ]

@@ -20,7 +20,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..transport.variants import AffineTransportation
+from ..transport.variants import (
+    AffineTransportation,
+    KMPTransport,
+    LaplacianEditingTransport,
+)
 from ..models.tpgmm import TPGMM
 from ..models.hmm_lqr import HMMLQR
 from ..data.datasets import load_reach_target, distribution_from_frames
@@ -144,3 +148,49 @@ class MultipleReferenceFramesHMM(_MetricsMixin):
         if not compute_metrics:
             return X1
         return self._metrics(X1, index_target, self.demos_A, self.demos_b)
+
+
+class _TransportBaseline(_MetricsMixin):
+    """Shared reproduce() for transport-variant baselines on reach_target
+    (the reference's ``model_kmp.py`` / ``model_laplacian_editing.py``:
+    4-point frame distributions, same metric protocol)."""
+
+    def _frame_points4(self, A, b, i):
+        fd = 5.0
+        A0, A1 = np.asarray(A[i][0][0]), np.asarray(A[i][0][1])
+        b0, b1 = np.asarray(b[i][0][0]), np.asarray(b[i][0][1])
+        return np.stack([b0, b0 + A0 @ [0, fd], b1, b1 + A1 @ [0, -fd]])
+
+    def _make_transport(self):
+        raise NotImplementedError
+
+    def reproduce(self, index_source: int, index_target: int, compute_metrics: bool = True):
+        tr = self._make_transport()
+        tr.source_distribution = self._frame_points4(self.demos_A, self.demos_b, index_source)
+        tr.target_distribution = self._frame_points4(self.demos_A, self.demos_b, index_target)
+        tr.training_traj = np.asarray(self.demos_x[index_source])
+        tr.fit_transportation()
+        tr.apply_transportation()
+        X1 = np.asarray(tr.training_traj)
+        if not compute_metrics:
+            return X1, np.asarray(tr.std)
+        return self._metrics(X1, index_target, self.demos_A, self.demos_b)
+
+
+class MultipleReferenceFramesKMP(_TransportBaseline):
+    def _make_transport(self):
+        # reference model_kmp.py:14 — do_scale + bounded hyperparameters
+        from .. import kernels as K
+        import jax.numpy as jnp
+
+        kernel = (
+            K.Constant(0.1, bounds=(0.1, 5.0))
+            * K.RBF(jnp.asarray([0.1]), bounds=(0.05, 0.2))
+            + K.White(1e-5, bounds=(1e-5, 0.01))
+        )
+        return KMPTransport(kernel=kernel, do_scale=True)
+
+
+class MultipleReferenceFramesLE(_TransportBaseline):
+    def _make_transport(self):
+        return LaplacianEditingTransport()

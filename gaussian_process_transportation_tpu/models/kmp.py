@@ -29,12 +29,20 @@ Array = jax.Array
 
 
 def default_kmp_kernel() -> K.Kernel:
-    """C(0.1, [0.1,2]) · RBF(0.1, [0.05,0.2]) + White(1e-5) — the transport
-    wrapper's default (``kernelized_movement_primitives_transportation.py:12``)."""
+    """C(0.1, [0.1,2]) · RBF(0.1, [0.05,0.2]) + White(1e-5, [1e-5, 0.1]).
+
+    Amplitude/lengthscale bounds follow the transport wrapper's default
+    (``kernelized_movement_primitives_transportation.py:12``); the noise
+    bound follows the comparison suite's kernel
+    (``comparison_transportation.py:45``) — with the amplitude capped at 2
+    and raw trajectories of variance ~10³, an UNbounded noise hyperopt
+    collapses to "all noise" and the conditioned time-GP predicts the
+    mean (the wrapper default is never exercised unbounded by the
+    reference's benchmarks)."""
     return (
         K.Constant(0.1, bounds=(0.1, 2.0))
         * K.RBF(jnp.array([0.1]), bounds=(0.05, 0.2))
-        + K.White(1e-5)
+        + K.White(1e-5, bounds=(1e-5, 0.1))
     )
 
 

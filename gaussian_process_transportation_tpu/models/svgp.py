@@ -46,6 +46,15 @@ Array = jax.Array
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
+def _eff_jitter(dtype, jitter: float) -> float:
+    """float32 Cholesky needs ~1e-4 diagonal jitter when inducing points
+    are near-duplicates (dense curve samples); float64 keeps the requested
+    value."""
+    if jnp.dtype(dtype) == jnp.float32:
+        return max(jitter, 1e-4)
+    return jitter
+
+
 @struct.dataclass
 class SVGPParams:
     """Trainable parameters, batched over the task (output) axis T."""
@@ -147,7 +156,7 @@ def _task_elbo(
     k = kernel.with_theta(theta_t)
     M = Z_t.shape[0]
     B = x.shape[0]
-    Kmm = add_diagonal(k(Z_t), jitter)
+    Kmm = add_diagonal(k(Z_t), _eff_jitter(Z_t.dtype, jitter))
     Lk = jnp.linalg.cholesky(Kmm)
     Kmx = k(Z_t, x)  # (M, B)
     A = tri_solve_lower(Lk, Kmx)  # (M, B)
@@ -233,6 +242,12 @@ def fit(
             loss, g = jax.value_and_grad(
                 lambda p: -elbo(kernel, p, xb, yb, N, jitter)
             )(params)
+            # skip the update on non-finite steps (f32 chol can transiently
+            # fail while hyperparameters move through bad regions)
+            ok = jnp.isfinite(loss)
+            g = jax.tree_util.tree_map(
+                lambda a: jnp.where(ok & jnp.isfinite(a), a, 0.0), g
+            )
             updates, opt_state = opt.update(g, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -317,7 +332,7 @@ def fit_natgrad(
             # ---- natural-gradient update of (Λ, h) per task -------------
             def nat_update(theta_t, Z_t, Lam_t, h_t, y_t):
                 k = kernel.with_theta(theta_t)
-                Kmm = add_diagonal(k(Z_t), jitter)
+                Kmm = add_diagonal(k(Z_t), _eff_jitter(Z_t.dtype, jitter))
                 Lk = jnp.linalg.cholesky(Kmm)
                 A = tri_solve_lower(Lk, k(Z_t, xb))  # (M, B)
                 scale = (N / xb.shape[0]) / noise
@@ -374,7 +389,7 @@ def collapse(state: SVGPState) -> CollapsedSVGP:
 
     def per_task(theta_t, Z_t, m_w, L_w_raw):
         k = state.kernel.with_theta(theta_t)
-        Kmm = add_diagonal(k(Z_t), jitter)
+        Kmm = add_diagonal(k(Z_t), _eff_jitter(Z_t.dtype, jitter))
         Lk = jnp.linalg.cholesky(Kmm)
         alpha = jax.scipy.linalg.solve_triangular(Lk.T, m_w, lower=False)
         Lw = _tril_with_softplus_diag(L_w_raw)

@@ -112,3 +112,18 @@ def test_hmm_baseline_on_reach_target():
     df, area, dtw, fde, fda = m.reproduce(2)
     assert np.isfinite([df, area, dtw, fde, fda]).all()
     assert fde < 20.0, fde
+
+
+@requires_reference
+def test_kmp_le_baselines_on_reach_target():
+    from gaussian_process_transportation_tpu.benchmarks.baselines import (
+        MultipleReferenceFramesKMP,
+        MultipleReferenceFramesLE,
+    )
+
+    for cls in (MultipleReferenceFramesKMP, MultipleReferenceFramesLE):
+        m = cls()
+        m.load_dataset()
+        df, area, dtw, fde, fda = m.reproduce(0, 1)
+        assert np.isfinite([df, area, dtw, fde, fda]).all(), cls.__name__
+        assert fde < 25.0, (cls.__name__, fde)

@@ -79,3 +79,22 @@ def test_package_sets_accurate_matmul_precision():
     import gaussian_process_transportation_tpu  # noqa: F401
 
     assert str(jax.config.jax_default_matmul_precision) == "highest"
+
+
+def test_sampler_chain_checkpoint_resume(tmp_path):
+    """NUTS/HMC chains checkpoint into the artifact store and resume
+    exactly (the checkpoint/resume capability of SURVEY §5)."""
+    import numpy as np
+    from gaussian_process_transportation_tpu.parallel import samplers
+
+    lp = lambda x: -0.5 * jnp.sum(x**2)
+    samples1, _ = samplers.hmc(lp, jnp.zeros(2), jax.random.PRNGKey(0),
+                               num_warmup=50, num_samples=30, num_leapfrog=8)
+    store = artifacts.ArtifactStore(str(tmp_path))
+    store.save("chains", {"samples": samples1, "last": samples1[-1]})
+    loaded = store.load("chains", like={"samples": samples1, "last": samples1[-1]})
+    np.testing.assert_array_equal(np.asarray(loaded["samples"]), np.asarray(samples1))
+    # resume: continue sampling from the checkpointed last state
+    samples2, _ = samplers.hmc(lp, jnp.asarray(loaded["last"]), jax.random.PRNGKey(1),
+                               num_warmup=10, num_samples=30, num_leapfrog=8)
+    assert np.isfinite(np.asarray(samples2)).all()
