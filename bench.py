@@ -133,9 +133,13 @@ def bench_ours(X, dX, S, S1, ensemble=2048, iters=5):
         jax.vmap(lambda tgt: gpt_mod.fit_and_transport(kernel, Sd, tgt, Xd, dXd))
     )
     t0 = time.perf_counter()
-    jax.block_until_ready(f(targets))
+    first = f(targets)
+    jax.block_until_ready(first)
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s "
         f"(backend={jax.default_backend()}, devices={jax.devices()})")
+    # validity guard: a throughput number for non-finite output is garbage
+    # (this caught the TPU bf16-matmul Gram corruption)
+    assert bool(jnp.isfinite(first.traj).all()), "transport produced non-finite output"
 
     t0 = time.perf_counter()
     for _ in range(iters):
