@@ -135,3 +135,26 @@ def complete_surface(
     grid = np.column_stack([GX.ravel(), GY.ravel()])
     zg = np.asarray(model.predict(grid))[:, 0]
     return np.column_stack([grid, zg])
+
+
+def load_lasa(name: str = "Angle", root: Optional[str] = None) -> List[Dict[str, np.ndarray]]:
+    """LASA handwriting dataset loader (used by the reference's paper
+    figures, ``example/paper_figures/load_data.py``).  Returns a list of
+    demos, each ``{"pos": (T, 2), "t": (T,), "vel": (T, 2), "acc": (T, 2)}``
+    (time-major, unlike the raw (2, T) .mat layout)."""
+    from scipy.io import loadmat
+
+    root = root or os.path.join(REFERENCE_ROOT, "example/paper_figures/DataSet")
+    mat = loadmat(os.path.join(root, f"{name}.mat"))
+    demos = []
+    for demo in mat["demos"][0]:
+        fields = {n: demo[n][0, 0] for n in ("pos", "t", "vel", "acc")}
+        demos.append(
+            {
+                "pos": np.asarray(fields["pos"], float).T,
+                "t": np.asarray(fields["t"], float).ravel(),
+                "vel": np.asarray(fields["vel"], float).T,
+                "acc": np.asarray(fields["acc"], float).T,
+            }
+        )
+    return demos

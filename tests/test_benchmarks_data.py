@@ -219,3 +219,17 @@ def test_robot_analysis_on_committed_artifacts():
         sp_dist.directed_hausdorff(sets[1], sets[0])[0],
     )
     np.testing.assert_allclose(out["hausdorff"][0, 1], expected, rtol=1e-9)
+
+
+@requires_reference
+def test_lasa_loader():
+    demos = datasets.load_lasa("Angle")
+    assert len(demos) >= 3
+    d = demos[0]
+    assert d["pos"].shape[1] == 2 and d["vel"].shape == d["pos"].shape
+    assert d["t"].shape[0] == d["pos"].shape[0]
+    # velocities are consistent with positions (finite-difference check)
+    dt = np.diff(d["t"]).mean()
+    fd = np.gradient(d["pos"], axis=0) / dt
+    corr = np.corrcoef(fd[:, 0], d["vel"][:, 0])[0, 1]
+    assert corr > 0.95, corr
