@@ -61,10 +61,18 @@ class ExactGP:
 # Conditioning & marginal likelihood
 # ---------------------------------------------------------------------------
 
+def _eff_jitter(dtype, jitter: float) -> float:
+    """float32 Cholesky of dense-curve Gram matrices needs ~1e-6 diagonal
+    jitter even when a White term exists; float64 keeps the request."""
+    if jnp.dtype(dtype) == jnp.float32:
+        return max(jitter, 1e-6)
+    return jitter
+
+
 def condition(kernel: Kernel, X: Array, Y: Array, jitter: float = 1e-10) -> ExactGP:
     """Form the GP posterior for fixed hyperparameters (jittable)."""
     Y2 = Y if Y.ndim == 2 else Y[:, None]
-    K = add_diagonal(kernel(X), jitter)
+    K = add_diagonal(kernel(X), _eff_jitter(X.dtype, jitter))
     L = jnp.linalg.cholesky(K)
     alpha = cho_solve_lower(L, Y2)
     return ExactGP(kernel=kernel, X=X, Y=Y2, L=L, alpha=alpha, jitter=jitter)

@@ -126,3 +126,27 @@ def test_quaternion_batched():
     np.testing.assert_allclose(
         np.asarray(quat.to_rotation_matrix(qs)), np.asarray(Rs), atol=1e-9
     )
+
+
+def test_quaternion_matches_scipy_rotation():
+    """Golden check vs scipy.spatial.transform.Rotation on orthogonal
+    matrices (sign-canonicalized)."""
+    from scipy.spatial.transform import Rotation
+
+    for seed in range(10):
+        R = np.asarray(_random_rotation(jax.random.PRNGKey(100 + seed)), dtype=float)
+        q_mine = np.asarray(quat.from_rotation_matrix(jnp.asarray(R)))  # wxyz
+        q_scipy = Rotation.from_matrix(R).as_quat()  # xyzw
+        q_scipy = np.concatenate([[q_scipy[3]], q_scipy[:3]])
+        if q_scipy[0] < 0:
+            q_scipy = -q_scipy
+        np.testing.assert_allclose(q_mine, q_scipy, atol=1e-7)
+
+
+def test_quaternion_to_matrix_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    q = np.asarray([0.5, 0.5, -0.5, 0.5])  # wxyz
+    R_mine = np.asarray(quat.to_rotation_matrix(jnp.asarray(q)))
+    R_scipy = Rotation.from_quat([q[1], q[2], q[3], q[0]]).as_matrix()
+    np.testing.assert_allclose(R_mine, R_scipy, atol=1e-12)
