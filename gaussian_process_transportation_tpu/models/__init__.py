@@ -19,6 +19,7 @@ from .mlp import MLP, EnsembleMLP
 from .flows import BijectiveNetwork, EnsembleBijectiveNetwork
 from .random_forest import EnsembleRandomForest
 from .svgp import StochasticVariationalGaussianProcess
+from .gmr import GMR
 
 __all__ = [
     "ExactGP",

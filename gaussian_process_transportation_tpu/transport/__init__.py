@@ -11,6 +11,7 @@ from .variants import (
     BijectiveTransport,
     EnsembleBijectiveTransport,
     SVGPTransport,
+    GMRTransport,
     finite_difference_jacobian,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "BijectiveTransport",
     "EnsembleBijectiveTransport",
     "SVGPTransport",
+    "GMRTransport",
     "finite_difference_jacobian",
 ]

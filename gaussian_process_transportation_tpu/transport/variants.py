@@ -27,6 +27,8 @@ optionally ``.training_delta``/``.training_ori``; call
   (``torch/ensemble_bijective_transport.py``)
 * ``SVGPTransport``              — sparse variational GP with derivative
   posteriors (``torch/stocastic_variational_gaussian_process_transportation.py:12-102``)
+* ``GMRTransport``               — GMM/GMR map fits Φ directly
+  (``example/comparisons/surfaces/surface_generalization_with_gmm.py:62-67``)
 """
 from __future__ import annotations
 
@@ -43,6 +45,7 @@ from ..models.mlp import MLP, EnsembleMLP
 from ..models.flows import BijectiveNetwork, EnsembleBijectiveNetwork
 from ..models.random_forest import EnsembleRandomForest
 from ..models.svgp import StochasticVariationalGaussianProcess
+from ..models.gmr import GMR
 from ..ops import quaternion as quat
 
 Array = jax.Array
@@ -313,6 +316,46 @@ class EnsembleBijectiveTransport:
 
     def sample_transportation(self):
         return self.model.samples(self.training_traj_old)
+
+
+class GMRTransport:
+    """GMM/GMR transport: affine pre-align, then a joint GMM over
+    (γ(S), S1) whose conditional mean maps the trajectory directly —
+    the reference's ``surface_generalization_with_gmm.py:60-67`` pipeline.
+    Velocities go through the analytic GMR Jacobian (an upgrade: the
+    reference demo transports positions only)."""
+
+    def __init__(self, n_components: int = 10, n_iter: int = 100, seed: int = 0,
+                 do_scale: bool = False, do_rotation: bool = True):
+        self.n_components = n_components
+        self.n_iter = n_iter
+        self.seed = seed
+        self.do_scale = do_scale
+        self.do_rotation = do_rotation
+
+    def fit_transportation(self):
+        self.affine_transform = AffineTransform(
+            do_scale=self.do_scale, do_rotation=self.do_rotation
+        )
+        self.affine_transform.fit(self.source_distribution, self.target_distribution)
+        source_aligned = self.affine_transform.predict(self.source_distribution)
+        self.gmr = GMR(
+            n_components=self.n_components, n_iter=self.n_iter, seed=self.seed
+        )
+        self.gmr.fit(source_aligned, jnp.asarray(self.target_distribution))
+
+    def apply_transportation(self):
+        self.training_traj_old = jnp.asarray(self.training_traj)
+        self.traj_rotated = self.affine_transform.predict(self.training_traj_old)
+        self.training_traj, self.std = self.gmr.predict(self.traj_rotated, return_std=True)
+        if getattr(self, "training_delta", None) is not None:
+            J_gmr = self.gmr.derivative(self.traj_rotated)
+            J_gamma = self.affine_transform.derivative(self.training_traj_old)
+            J_phi = J_gmr @ J_gamma  # Φ = GMR ∘ γ (the GMR maps positions directly)
+            self.training_delta = (J_phi @ jnp.asarray(self.training_delta)[:, :, None])[:, :, 0]
+
+    def sample_transportation(self):
+        return self.gmr.samples(self.traj_rotated)
 
 
 class SVGPTransport:
