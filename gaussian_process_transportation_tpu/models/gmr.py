@@ -77,11 +77,15 @@ def fit_gmm(
 
     Initialization: random data points as means (sklearn's ``init_params=
     'random_from_data'``), the data covariance (+reg) as every component's
-    covariance, uniform weights.  Returns (params, per-iteration mean
-    log-likelihood trace)."""
+    covariance, uniform weights.  ``reg`` is *relative* to the mean data
+    variance so that curve-like (rank-deficient) point sets at any
+    coordinate scale keep every component covariance SPD.  Returns
+    (params, per-iteration mean log-likelihood trace)."""
     n, d = z.shape
     idx = jax.random.choice(key, n, shape=(n_components,), replace=False)
-    data_cov = jnp.cov(z.T).reshape(d, d) + reg * jnp.eye(d, dtype=z.dtype)
+    data_cov = jnp.cov(z.T).reshape(d, d)
+    reg = reg * jnp.maximum(jnp.trace(data_cov) / d, 1e-30)
+    data_cov = data_cov + reg * jnp.eye(d, dtype=z.dtype)
     params0 = GMMParams(
         jnp.full((n_components,), -jnp.log(float(n_components)), z.dtype),
         z[idx],
