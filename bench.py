@@ -117,7 +117,7 @@ def bench_reference_cpu(X, dX, S, S1, iters=5):
     return iters / dt
 
 
-def bench_ours(X, dX, S, S1, ensemble=2048, iters=5):
+def bench_ours(X, dX, S, S1, ensemble=8192, iters=5):
     import jax
     import jax.numpy as jnp
     from gaussian_process_transportation_tpu import kernels as K

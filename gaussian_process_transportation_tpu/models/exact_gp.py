@@ -54,6 +54,13 @@ class ExactGP:
     Y: Array  # (N, P) training targets
     L: Array  # (N, N) lower Cholesky of K(X,X) + jitter I (K includes White)
     alpha: Array  # (N, P) = K^{-1} Y
+    # Optional cached K^{-1} (the reference's own cache, gaussian_process.py:42-43).
+    # When present, predict/jacobian variances use MXU matmuls against it
+    # instead of per-query triangular solves — on TPU the batched tiny
+    # triangular solves dominate the transport hot path, while N×Nq matmuls
+    # ride the systolic array.  Worth it when Nq >> N and N is small/medium;
+    # skip for large-N fits (O(N²) memory, O(N³) extra solve).
+    K_inv: Optional[Array] = None
     jitter: float = struct.field(pytree_node=False, default=1e-10)
 
 
@@ -69,13 +76,27 @@ def _eff_jitter(dtype, jitter: float) -> float:
     return jitter
 
 
-def condition(kernel: Kernel, X: Array, Y: Array, jitter: float = 1e-10) -> ExactGP:
-    """Form the GP posterior for fixed hyperparameters (jittable)."""
+def condition(
+    kernel: Kernel,
+    X: Array,
+    Y: Array,
+    jitter: float = 1e-10,
+    cache_k_inv: bool = False,
+) -> ExactGP:
+    """Form the GP posterior for fixed hyperparameters (jittable).
+
+    ``cache_k_inv=True`` additionally stores K⁻¹ so downstream variance
+    queries become matmuls (see :class:`ExactGP`)."""
     Y2 = Y if Y.ndim == 2 else Y[:, None]
     K = add_diagonal(kernel(X), _eff_jitter(X.dtype, jitter))
     L = jnp.linalg.cholesky(K)
     alpha = cho_solve_lower(L, Y2)
-    return ExactGP(kernel=kernel, X=X, Y=Y2, L=L, alpha=alpha, jitter=jitter)
+    K_inv = None
+    if cache_k_inv:
+        eye = jnp.eye(X.shape[0], dtype=X.dtype)
+        K_inv = cho_solve_lower(L, eye)
+        K_inv = 0.5 * (K_inv + K_inv.T)  # enforce symmetry
+    return ExactGP(kernel=kernel, X=X, Y=Y2, L=L, alpha=alpha, K_inv=K_inv, jitter=jitter)
 
 
 def log_marginal_likelihood(
@@ -126,8 +147,12 @@ def predict(
     mean = jnp.dot(k_star, gp.alpha, precision=_HI)
     if not return_std:
         return mean
-    V = tri_solve_lower(gp.L, k_star.T)  # (N, Nq)
-    var = gp.kernel.diag(x) - jnp.sum(V * V, axis=0)
+    if gp.K_inv is not None:
+        KiK = jnp.dot(k_star, gp.K_inv, precision=_HI)  # (Nq, N)
+        var = gp.kernel.diag(x) - jnp.sum(KiK * k_star, axis=1)
+    else:
+        V = tri_solve_lower(gp.L, k_star.T)  # (N, Nq)
+        var = gp.kernel.diag(x) - jnp.sum(V * V, axis=0)
     var = jnp.maximum(var, 0.0)
     std = jnp.sqrt(var)
     if epistemic_only:
@@ -176,11 +201,16 @@ def jacobian(
     mean = jnp.einsum("qnd,np->qpd", dk, gp.alpha, precision=_HI)
     if not return_var:
         return mean
-    dkT = jnp.transpose(dk, (2, 1, 0))  # (D, N, Nq)
-    V = jax.vmap(lambda B: tri_solve_lower(gp.L, B))(dkT)  # (D, N, Nq)
-    quad = jnp.sum(V * V, axis=1)  # (D, Nq): diag(dk_d K⁻¹ dk_dᵀ)
     prior = gp.kernel.dxdz_diag(x)  # (Nq, D)
-    var = prior - quad.T  # (Nq, D)
+    if gp.K_inv is not None:
+        dkKi = jnp.einsum("qnd,nm->qmd", dk, gp.K_inv, precision=_HI)
+        quad = jnp.einsum("qmd,qmd->qd", dkKi, dk, precision=_HI)  # (Nq, D)
+        var = prior - quad
+    else:
+        dkT = jnp.transpose(dk, (2, 1, 0))  # (D, N, Nq)
+        V = jax.vmap(lambda B: tri_solve_lower(gp.L, B))(dkT)  # (D, N, Nq)
+        quad = jnp.sum(V * V, axis=1)  # (D, Nq): diag(dk_d K⁻¹ dk_dᵀ)
+        var = prior - quad.T  # (Nq, D)
     var = jnp.broadcast_to(var[:, None, :], mean.shape)
     return mean, var
 
@@ -193,7 +223,10 @@ def variance_gradient(gp: ExactGP, x: Array) -> Array:
     """
     k_star = gp.kernel(x, gp.X)  # (Nq, N)
     dk = gp.kernel.dx(x, gp.X)  # (Nq, N, D)
-    Kinv_k = cho_solve_lower(gp.L, k_star.T)  # (N, Nq)
+    if gp.K_inv is not None:
+        Kinv_k = jnp.dot(gp.K_inv, k_star.T, precision=_HI)  # (N, Nq)
+    else:
+        Kinv_k = cho_solve_lower(gp.L, k_star.T)  # (N, Nq)
     return -2.0 * jnp.einsum("qnd,nq->qd", dk, Kinv_k, precision=_HI)
 
 

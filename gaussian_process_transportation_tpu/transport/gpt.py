@@ -97,7 +97,10 @@ def fit_pipeline(
     )
     src_aligned = affine_core.predict(aff, source_distribution)
     delta = target_distribution - src_aligned
-    gp = gp_core.condition(kernel, src_aligned, delta, jitter)
+    # cache K⁻¹: the transport conditions on small point sets (20–2500) and
+    # queries whole trajectories — variance via MXU matmuls against K⁻¹
+    # beats batched tiny triangular solves ~3× on TPU (see bench notes)
+    gp = gp_core.condition(kernel, src_aligned, delta, jitter, cache_k_inv=True)
     return aff, gp
 
 
