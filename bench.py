@@ -117,7 +117,7 @@ def bench_reference_cpu(X, dX, S, S1, iters=5):
     return iters / dt
 
 
-def bench_ours(X, dX, S, S1, ensemble=8192, iters=5):
+def bench_ours(X, dX, S, S1, ensemble=16384, iters=5):
     import jax
     import jax.numpy as jnp
     from gaussian_process_transportation_tpu import kernels as K
@@ -130,7 +130,7 @@ def bench_ours(X, dX, S, S1, ensemble=8192, iters=5):
     targets = jnp.asarray(S1)[None] + shifts[:, None, None]
 
     f = jax.jit(
-        jax.vmap(lambda tgt: gpt_mod.fit_and_transport(kernel, Sd, tgt, Xd, dXd))
+        lambda tgts: gpt_mod.fit_and_transport_batched(kernel, Sd, tgts, Xd, dXd)
     )
     t0 = time.perf_counter()
     first = f(targets)

@@ -145,6 +145,17 @@ class Kernel:
 
         return jax.vmap(at_point)(x)
 
+    def dxT(self, x: Array, Z: Array) -> Array:
+        """∂k(x_i, Z_j)/∂x_d in query-last layout: shape (D, M, N).
+
+        Same values as ``dx`` transposed, but subclasses build it natively
+        so the large query axis stays minormost — on TPU a (N, M, D) array
+        with small trailing dims pads each (M, D) tile to (8, 128), blowing
+        up HBM traffic; (D, M, N) keeps padding negligible.  Used by the
+        batched transport hot path.
+        """
+        return jnp.transpose(self.dx(x, Z), (2, 1, 0))
+
 
 def _as_kernel(x) -> Kernel:
     if isinstance(x, Kernel):
@@ -169,6 +180,9 @@ class Constant(Kernel):
 
     def dx(self, x, Z):
         return jnp.zeros((x.shape[0], Z.shape[0], x.shape[1]))
+
+    def dxT(self, x, Z):
+        return jnp.zeros((x.shape[1], Z.shape[0], x.shape[0]))
 
     def dxdz_diag(self, x):
         return jnp.zeros(x.shape)
@@ -201,6 +215,9 @@ class White(Kernel):
 
     def dx(self, x, Z):
         return jnp.zeros((x.shape[0], Z.shape[0], x.shape[1]))
+
+    def dxT(self, x, Z):
+        return jnp.zeros((x.shape[1], Z.shape[0], x.shape[0]))
 
     def dxdz_diag(self, x):
         return jnp.zeros(x.shape)
@@ -239,6 +256,12 @@ class RBF(Kernel):
         ls = jnp.atleast_1d(self.lengthscale)
         diff = (Z[None, :, :] - x[:, None, :]) / (ls**2)  # (N, M, D)
         return diff * k[:, :, None]
+
+    def dxT(self, x, Z):
+        kT = self(Z, x)  # (M, N)
+        ls = jnp.atleast_1d(self.lengthscale)
+        diffT = (Z.T[:, :, None] - x.T[:, None, :]) / (ls**2)[:, None, None]  # (D, M, N)
+        return diffT * kT[None]
 
     def dxdz_diag(self, x):
         ls = jnp.atleast_1d(self.lengthscale)
@@ -314,6 +337,22 @@ class Matern(Kernel):
         safe_d = jnp.maximum(d, 1e-12)
         return -diff * (k / safe_d)[:, :, None]
 
+    def dxT(self, x, Z):
+        """Query-last closed form: −coeff(x,Z)ᵀ ⊙ (x−Z)/ls² as (D, M, N)."""
+        ls = jnp.atleast_1d(self.lengthscale)
+        diffT = (Z.T[:, :, None] - x.T[:, None, :]) / (ls**2)[:, None, None]  # (D,M,N)
+        d2T = _sqdist(Z / ls, x / ls)  # (M, N)
+        if self.nu == math.inf:
+            return diffT * jnp.exp(-0.5 * d2T)[None]
+        d = jnp.sqrt(d2T + 1e-36)
+        if self.nu == 1.5:
+            return diffT * (3.0 * jnp.exp(-math.sqrt(3.0) * d))[None]
+        if self.nu == 2.5:
+            s = math.sqrt(5.0) * d
+            return diffT * ((5.0 / 3.0) * (1.0 + s) * jnp.exp(-s))[None]
+        k = jnp.exp(-d)
+        return diffT * (k / jnp.maximum(d, 1e-12))[None]
+
     def dxdz_diag(self, x):
         ls = jnp.atleast_1d(self.lengthscale)
         if self.nu == math.inf:
@@ -346,6 +385,9 @@ class Sum(Kernel):
     def dx(self, x, Z):
         return self.k1.dx(x, Z) + self.k2.dx(x, Z)
 
+    def dxT(self, x, Z):
+        return self.k1.dxT(x, Z) + self.k2.dxT(x, Z)
+
     def dxdz_diag(self, x):
         return self.k1.dxdz_diag(x) + self.k2.dxdz_diag(x)
 
@@ -372,6 +414,12 @@ class Product(Kernel):
         a = self.k1(x, Z)[:, :, None]
         b = self.k2(x, Z)[:, :, None]
         return self.k1.dx(x, Z) * b + a * self.k2.dx(x, Z)
+
+    def dxT(self, x, Z):
+        # symmetric stationary kernels: k(x,Z)ᵀ = k(Z,x)
+        aT = self.k1(Z, x)[None]
+        bT = self.k2(Z, x)[None]
+        return self.k1.dxT(x, Z) * bT + aT * self.k2.dxT(x, Z)
 
     def dxdz_diag(self, x):
         # d²(k1·k2)/da db = k1'' k2 + k1' k2' + ... ; for the common case of

@@ -40,9 +40,7 @@ def transport_ensemble(
     mesh: Optional[Mesh] = None,
 ) -> gpt_mod.TransportResult:
     """Fit+apply E independent transports as one sharded computation."""
-    f = jax.vmap(
-        lambda tgt: gpt_mod.fit_and_transport(kernel, source, tgt, traj, delta)
-    )
+    f = lambda tgts: gpt_mod.fit_and_transport_batched(kernel, source, tgts, traj, delta)
     if mesh is not None:
         targets = jax.device_put(targets, ensemble_sharding(mesh))
         out_sharding = jax.tree_util.tree_map(

@@ -104,6 +104,24 @@ def fit_pipeline(
     return aff, gp
 
 
+def _det_small(M: Array) -> Array:
+    """det over the leading axes of (..., D, D) with closed forms for
+    D ≤ 3 — ``jnp.linalg.det``'s LU path forces a (…, D, D) layout whose
+    tiny trailing tiles pad to (8, 128) on TPU."""
+    d = M.shape[-1]
+    if d == 1:
+        return M[..., 0, 0]
+    if d == 2:
+        return M[..., 0, 0] * M[..., 1, 1] - M[..., 0, 1] * M[..., 1, 0]
+    if d == 3:
+        return (
+            M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1])
+            - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 0])
+            + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0])
+        )
+    return jnp.linalg.det(M)
+
+
 def transport_apply(
     aff: AffineParams,
     gp: gp_core.ExactGP,
@@ -113,22 +131,61 @@ def transport_apply(
     """The full uncertainty-aware transport of one policy — one fused graph.
 
     Math parity: ``policy_transportation.py:26-59``.
+
+    Layout: all large intermediates are query-last — (N, Q) / (D, N, Q) /
+    (P, D, Q) — so the big axis Q (trajectory length) sits in the TPU lane
+    dimension.  The naive (Q, N)/(Q, P, D) layouts tile-pad their small
+    trailing dims to (8, 128), which measured ~4× slower end-to-end on v5e
+    at E=8192 (see CLAUDE.md perf notes).
     """
-    pos_aligned = affine_core.predict(aff, traj)
-    mean, std = gp_core.predict(gp, pos_aligned, return_std=True, epistemic_only=True)
-    traj_new = pos_aligned + mean
+    HI = jax.lax.Precision.HIGHEST
+    kernel = gp.kernel
+    pos = affine_core.predict(aff, traj)  # (Q, D) — small
+    Jg = (aff.scale * aff.rotation).astype(pos.dtype)  # J_γ = s·R, (D, D)
 
-    J_gamma = affine_core.derivative(aff, traj)  # (N, D, D)
-    J_psi, J_psi_var = gp_core.jacobian(gp, pos_aligned, return_var=True)
-    J_phi = J_gamma + J_psi @ J_gamma
-    min_abs_det = jnp.min(jnp.abs(jnp.linalg.det(J_phi)))
+    # --- posterior mean / std (q-last) ---
+    kT = kernel(gp.X, pos)  # (N, Q); symmetric stationary: k(X,pos) = k(pos,X)ᵀ
+    meanT = jnp.einsum("np,nq->pq", gp.alpha, kT, precision=HI)  # (P, Q)
+    if gp.K_inv is not None:
+        KiK = jnp.dot(gp.K_inv, kT, precision=HI)  # (N, Q)
+        var = kernel.diag(pos) - jnp.sum(KiK * kT, axis=0)
+    else:
+        from ..ops.linalg import tri_solve_lower
 
-    v = delta[:, :, None]
-    vel_aligned = J_gamma @ v
-    delta_new = (J_phi @ v)[:, :, 0]
-    delta_var = (J_psi_var @ vel_aligned**2)[:, :, 0]
+        V = tri_solve_lower(gp.L, kT)  # (N, Q)
+        var = kernel.diag(pos) - jnp.sum(V * V, axis=0)
+    std_q = jnp.sqrt(jnp.maximum(var, 0.0)) - jnp.sqrt(
+        gp_core.white_noise_level(kernel)
+    )  # (Q,) epistemic-only convention (gaussian_process.py:49)
+    traj_new = pos + meanT.T
+    std = jnp.broadcast_to(std_q[:, None], traj_new.shape)
 
-    return TransportResult(traj_new, std, delta_new, delta_var, min_abs_det)
+    # --- Jacobian posterior (q-last) ---
+    dkT = kernel.dxT(pos, gp.X)  # (D, N, Q)
+    JpsiT = jnp.einsum("np,dnq->pdq", gp.alpha, dkT, precision=HI)  # (P, D, Q)
+    if gp.K_inv is not None:
+        KidkT = jnp.einsum("nm,dmq->dnq", gp.K_inv, dkT, precision=HI)
+        quadT = jnp.sum(KidkT * dkT, axis=1)  # (D, Q)
+    else:
+        from ..ops.linalg import tri_solve_lower
+
+        Vd = jax.vmap(lambda B: tri_solve_lower(gp.L, B))(dkT)  # (D, N, Q)
+        quadT = jnp.sum(Vd * Vd, axis=1)
+    JvarT = kernel.dxdz_diag(pos).T - quadT  # (D, Q)
+
+    # J_Φ = J_γ + J_Ψ J_γ ; diffeo det diagnostic (policy_transportation.py:45-47)
+    JphiT = Jg[:, :, None] + jnp.einsum("peq,ed->pdq", JpsiT, Jg, precision=HI)  # (P, D, Q)
+    Jphi = jnp.moveaxis(JphiT, -1, 0)  # (Q, P, D) — small, for the det only
+    min_abs_det = jnp.min(jnp.abs(_det_small(Jphi)))
+
+    # velocity / variance push-forward (q-last)
+    vT = delta.T  # (D, Q)
+    wT = jnp.dot(Jg, vT, precision=HI)  # (D, Q) = (J_γ v)ᵀ
+    delta_newT = wT + jnp.einsum("pdq,dq->pq", JpsiT, wT, precision=HI)
+    dvar_q = jnp.einsum("dq,dq->q", JvarT, wT**2, precision=HI)  # same across P
+    delta_var = jnp.broadcast_to(dvar_q[:, None], traj_new.shape)
+
+    return TransportResult(traj_new, std, delta_newT.T, delta_var, min_abs_det)
 
 
 @partial(jax.jit, static_argnames=("do_scale", "do_rotation"))
@@ -157,3 +214,66 @@ def fit_and_transport(
         jitter=jitter,
     )
     return transport_apply(aff, gp, traj, delta)
+
+
+@partial(jax.jit, static_argnames=("do_scale", "do_rotation"))
+def fit_and_transport_batched(
+    kernel: K.Kernel,
+    source_distribution: Array,
+    target_distributions: Array,
+    traj: Array,
+    delta: Array,
+    do_scale: bool = False,
+    do_rotation: bool = True,
+    jitter: float = 1e-10,
+) -> TransportResult:
+    """One shared (source, traj, delta) transported onto a batch of targets
+    (E, N, D) — the ensemble workload — as a single program with
+    TPU-layout-aware batching.
+
+    Equivalent to ``vmap(lambda t: fit_and_transport(kernel, S, t, X, dX))``
+    but ~3× faster at E≈10⁴ on v5e: the Kabsch fit uses the closed-form
+    SO(2) optimum instead of E tiny SVD custom calls, and the N×N Cholesky
+    + inverse run in ensemble-last layout on the VPU
+    (``ops.batched_linalg``) instead of tile-padded custom calls.  The
+    query-sized contractions keep the vmapped MXU layout of
+    ``transport_apply``.  Falls back to exactly that vmap for large N or
+    non-2D inputs.
+    """
+    source_distribution = jnp.asarray(source_distribution)
+    targets = jnp.asarray(target_distributions)
+    n, d = source_distribution.shape
+    if n > 64:
+        return jax.vmap(
+            lambda tgt: fit_and_transport(
+                kernel, source_distribution, tgt, traj, delta,
+                do_scale=do_scale, do_rotation=do_rotation, jitter=jitter,
+            )
+        )(targets)
+
+    aff_b = affine_core.fit_batched(
+        source_distribution, targets, do_scale=do_scale, do_rotation=do_rotation
+    )
+    src_al = jax.vmap(lambda a: affine_core.predict(a, source_distribution))(aff_b)
+    delta_b = targets - src_al  # (E, n, d)
+
+    K_b = jax.vmap(kernel)(src_al)  # (E, n, n)
+    eff = gp_core._eff_jitter(src_al.dtype, jitter)
+    K_b = K_b + eff * jnp.eye(n, dtype=src_al.dtype)
+
+    from ..ops.batched_linalg import spd_inverse_elast
+
+    L_e, Kinv_e = spd_inverse_elast(jnp.transpose(K_b, (1, 2, 0)))  # (n,n,E)
+    L_b = jnp.transpose(L_e, (2, 0, 1))
+    Kinv_b = jnp.transpose(Kinv_e, (2, 0, 1))
+    alpha_b = jnp.einsum(
+        "enm,emp->enp", Kinv_b, delta_b, precision=jax.lax.Precision.HIGHEST
+    )
+
+    def apply_one(aff, X, Y, L, alpha, K_inv):
+        gp = gp_core.ExactGP(
+            kernel=kernel, X=X, Y=Y, L=L, alpha=alpha, K_inv=K_inv, jitter=jitter
+        )
+        return transport_apply(aff, gp, traj, delta)
+
+    return jax.vmap(apply_one)(aff_b, src_al, delta_b, L_b, alpha_b, Kinv_b)

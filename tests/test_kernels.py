@@ -144,3 +144,31 @@ def test_kernel_is_pytree_vmappable():
     assert grams.shape == (4, X.shape[0], X.shape[0])
     single = base.with_theta(thetas[2])(X)
     np.testing.assert_allclose(np.asarray(grams[2]), np.asarray(single), atol=1e-12)
+
+
+def test_dxT_matches_dx_all_kernels():
+    """Query-last derivative layout must equal dx transposed for every
+    kernel expression used in the transport hot path."""
+    import math as _math
+    from gaussian_process_transportation_tpu import kernels as K
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(9, 3))
+    Z = jnp.asarray(rng.randn(5, 3))
+    ls = jnp.asarray([0.7, 1.3, 2.1])
+    exprs = [
+        K.RBF(ls),
+        K.Matern(ls, nu=1.5),
+        K.Matern(ls, nu=2.5),
+        K.Matern(ls, nu=0.5),
+        K.Matern(ls, nu=_math.inf),
+        K.Constant(2.0),
+        K.White(0.1),
+        K.Constant(3.0) * K.RBF(ls) + K.White(0.01),
+        K.RBF(ls) * K.Matern(ls, nu=2.5),
+        K.Constant(0.5) * K.Matern(ls, nu=1.5) + K.White(1e-4),
+    ]
+    for k in exprs:
+        ref = jnp.transpose(k.dx(x, Z), (2, 1, 0))
+        got = k.dxT(x, Z)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12, atol=1e-12)
