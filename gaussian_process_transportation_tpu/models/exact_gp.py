@@ -102,8 +102,18 @@ def condition(
 def log_marginal_likelihood(
     kernel: Kernel, X: Array, Y: Array, jitter: float = 1e-10
 ) -> Array:
-    """log p(Y | X, kernel), summed over output columns (sklearn semantics)."""
+    """log p(Y | X, kernel), summed over output columns (sklearn semantics).
+
+    For small N (≤ 64) this routes through :func:`_lml_small`, which (a)
+    factorizes with ``ops.batched_linalg.small_cholesky`` so vmapped
+    hyperparameter ensembles / restarts / MCMC chains run the Cholesky
+    ensemble-last on the VPU instead of tile-padded custom calls, and (b)
+    carries the textbook analytic gradient ``½ tr((ααᵀ − P·K⁻¹) ∂K)`` as a
+    custom VJP, so reverse-mode never differentiates through the Cholesky.
+    """
     Y2 = Y if Y.ndim == 2 else Y[:, None]
+    if X.shape[0] <= 64:
+        return _lml_small(kernel, X, Y2, jitter)
     n = X.shape[0]
     K = add_diagonal(kernel(X), jitter)
     L = jnp.linalg.cholesky(K)
@@ -111,6 +121,41 @@ def log_marginal_likelihood(
     quad = jnp.sum(Y2 * alpha)
     p = Y2.shape[1]
     return -0.5 * quad - p * (0.5 * log_det_from_chol(L) + 0.5 * n * _LOG_2PI)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _lml_small(kernel: Kernel, X: Array, Y2: Array, jitter: float) -> Array:
+    return _lml_small_fwd(kernel, X, Y2, jitter)[0]
+
+
+def _lml_small_fwd(kernel, X, Y2, jitter):
+    from ..ops.batched_linalg import small_cholesky, small_cho_solve
+
+    n, p = X.shape[0], Y2.shape[1]
+    K = add_diagonal(kernel(X), jitter)
+    L = small_cholesky(K)
+    alpha = small_cho_solve(L, Y2)
+    quad = jnp.sum(Y2 * alpha)
+    val = -0.5 * quad - p * (0.5 * log_det_from_chol(L) + 0.5 * n * _LOG_2PI)
+    return val, (kernel, X, Y2, L, alpha)
+
+
+def _lml_small_bwd(jitter, res, g):
+    from ..ops.batched_linalg import small_cho_solve
+
+    kernel, X, Y2, L, alpha = res
+    n, p = X.shape[0], Y2.shape[1]
+    K_inv = small_cho_solve(L, jnp.eye(n, dtype=L.dtype))
+    # dLML/dK = ½(ααᵀ − P·K⁻¹); pull back through the Gram build only —
+    # no AD through the factorization.
+    W = 0.5 * (jnp.dot(alpha, alpha.T, precision=_HI) - p * K_inv)
+    _, gram_vjp = jax.vjp(lambda k, Xv: k(Xv), kernel, X)
+    gk, gX = gram_vjp(W * g)
+    gY2 = -alpha * g  # dLML/dY = −K⁻¹Y
+    return gk, gX, gY2
+
+
+_lml_small.defvjp(_lml_small_fwd, _lml_small_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -65,3 +65,70 @@ def spd_inverse_elast(K: Array) -> tuple[Array, Array]:
     Li = inv_lower_elast(L)
     K_inv = jnp.einsum("kie,kje->ije", Li, Li)
     return L, K_inv
+
+
+def cho_solve_elast(L: Array, B: Array) -> Array:
+    """Solve (L Lᵀ) X = B with L (n, n, E), B (n, p, E) — unrolled forward
+    then backward substitution, all elementwise over E."""
+    n = L.shape[0]
+    inv_diag = 1.0 / jnp.einsum("iie->ie", L)  # (n, E)
+    # forward: L z = B
+    z = []
+    for i in range(n):
+        s = B[i]  # (p, E)
+        for k in range(i):
+            s = s - L[i, k][None, :] * z[k]
+        z.append(s * inv_diag[i][None, :])
+    # backward: Lᵀ x = z
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = z[i]
+        for k in range(i + 1, n):
+            s = s - L[k, i][None, :] * x[k]
+        x[i] = s * inv_diag[i][None, :]
+    return jnp.stack(x, axis=0)  # (n, p, E)
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrappers: unbatched calls use the LAPACK-style custom calls;
+# any vmapped call re-lays the batch ensemble-last and runs the unrolled
+# kernels above.  NOTE: these do not support differentiation *through* the
+# op — wrap consumers in jax.custom_vjp with analytic gradients (see
+# models/exact_gp.py log-marginal-likelihood).
+# ---------------------------------------------------------------------------
+
+from jax.custom_batching import custom_vmap
+
+
+@custom_vmap
+def small_cholesky(K: Array) -> Array:
+    """Lower Cholesky of one small (n ≲ 64) SPD matrix; under vmap, huge
+    batches run ensemble-last on the VPU with zero tile padding."""
+    return jnp.linalg.cholesky(K)
+
+
+@small_cholesky.def_vmap
+def _small_cholesky_vmap(axis_size, in_batched, K):
+    (kb,) = in_batched
+    if not kb:
+        K = jnp.broadcast_to(K[None], (axis_size,) + K.shape)
+    L = cholesky_elast(jnp.moveaxis(K, 0, -1))
+    return jnp.moveaxis(L, -1, 0), True
+
+
+@custom_vmap
+def small_cho_solve(L: Array, B: Array) -> Array:
+    """(L Lᵀ)⁻¹ B for one small factorization; batch goes ensemble-last."""
+    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+@small_cho_solve.def_vmap
+def _small_cho_solve_vmap(axis_size, in_batched, L, B):
+    lb, bb = in_batched
+    if not lb:
+        L = jnp.broadcast_to(L[None], (axis_size,) + L.shape)
+    if not bb:
+        B = jnp.broadcast_to(B[None], (axis_size,) + B.shape)
+    X = cho_solve_elast(jnp.moveaxis(L, 0, -1), jnp.moveaxis(B, 0, -1))
+    return jnp.moveaxis(X, -1, 0), True

@@ -210,3 +210,45 @@ def test_vmapped_conditioning():
     assert means.shape == (5, len(Xq), P)
     single = core.predict(core.condition(mine, jnp.asarray(X), Ys[3]), jnp.asarray(Xq))
     np.testing.assert_allclose(np.asarray(means[3]), np.asarray(single), atol=1e-10)
+
+
+def test_lml_small_analytic_gradient_matches_ad():
+    """The small-N LML (custom VJP, ensemble-last Cholesky under vmap) must
+    match the plain Cholesky+autodiff path in value and in gradients w.r.t.
+    kernel theta, X, and Y — unbatched and vmapped."""
+    import math
+
+    from gaussian_process_transportation_tpu.ops.linalg import (
+        add_diagonal,
+        cho_solve_lower,
+        log_det_from_chol,
+    )
+
+    rng2 = np.random.RandomState(4)
+    X = jnp.asarray(rng2.randn(17, 2))
+    Y = jnp.asarray(rng2.randn(17, 2))
+    kern = K.Constant(2.0) * K.RBF(jnp.asarray([0.8, 1.4])) + K.White(0.05)
+
+    def lml_ref(theta, Xv, Yv):
+        k = kern.with_theta(theta)
+        Km = add_diagonal(k(Xv), 1e-10)
+        L = jnp.linalg.cholesky(Km)
+        alpha = cho_solve_lower(L, Yv)
+        return -0.5 * jnp.sum(Yv * alpha) - Yv.shape[1] * (
+            0.5 * log_det_from_chol(L) + 0.5 * Xv.shape[0] * math.log(2 * math.pi)
+        )
+
+    def lml_new(theta, Xv, Yv):
+        return core.log_marginal_likelihood(kern.with_theta(theta), Xv, Yv, 1e-10)
+
+    th = kern.theta
+    np.testing.assert_allclose(float(lml_ref(th, X, Y)), float(lml_new(th, X, Y)), rtol=1e-12)
+    g_ref = jax.grad(lml_ref, argnums=(0, 1, 2))(th, X, Y)
+    g_new = jax.grad(lml_new, argnums=(0, 1, 2))(th, X, Y)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+    ths = jnp.stack([th, th + 0.1, th * 1.3])
+    gv_ref = jax.vmap(jax.grad(lambda t: lml_ref(t, X, Y)))(ths)
+    gv_new = jax.jit(jax.vmap(jax.grad(lambda t: lml_new(t, X, Y))))(ths)
+    np.testing.assert_allclose(np.asarray(gv_ref), np.asarray(gv_new), rtol=1e-8, atol=1e-10)
