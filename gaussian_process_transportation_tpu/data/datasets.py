@@ -110,6 +110,48 @@ def random_gp_surface(
     return jnp.stack([gx, gy, z.reshape(n, n)], axis=-1)
 
 
+def spiral_demo(
+    key: jax.Array,
+    n_spiral: int = 360,
+    n_lift: int = 100,
+    n_grid: int = 20,
+    lengthscale: float = 0.7,
+    amplitude: float = 0.1,
+):
+    """Synthetic 3-D spiral demonstration over a flat source surface and a
+    GP-sampled target surface (``example/3D/spiral.py``: turtle-drawn spiral
+    + parabolic lift + Cholesky-sampled RBF surface).  The turtle plotter is
+    replaced by a closed-form Archimedean spiral.  Returns
+    ``(demo (N,3), old_surface (n,n,3), new_surface (n,n,3))``.
+    """
+    t = np.linspace(0.0, 6.0 * np.pi, n_spiral)
+    r = 0.02 + 0.15 * t
+    x = r * np.cos(t)
+    y = r * np.sin(t)
+    z = np.zeros_like(x)
+
+    # Parabolic lift from the spiral's end back to its start
+    # (``spiral.py`` calc_parabola_vertex through (0,0),(0.5,1),(1,0)).
+    s = np.linspace(0.0, 1.0, n_lift)
+    zl = 4.0 * s * (1.0 - s)
+    xl = (1 - s) * x[-1] + s * x[0]
+    yl = (1 - s) * y[-1] + s * y[0]
+    demo = np.column_stack(
+        [np.concatenate([x, xl]), np.concatenate([y, yl]), np.concatenate([z, zl])]
+    )
+
+    ext = float(np.abs(demo[:, :2]).max()) * 1.1
+    g = np.linspace(-ext, ext, n_grid)
+    gx, gy = np.meshgrid(g, g)
+    old_surface = np.stack([gx, gy, np.zeros_like(gx)], axis=-1)
+    new_surface = np.asarray(
+        random_gp_surface(
+            key, n=n_grid, extent=ext, lengthscale=lengthscale, amplitude=amplitude
+        )
+    )
+    return demo, old_surface, new_surface
+
+
 def complete_surface(
     points: np.ndarray,
     grid_n: int = 20,

@@ -78,8 +78,13 @@ def _propagate(value, node, n_nodes):
 
 
 def _best_split(X, y):
-    """Best (feature, threshold) by variance reduction, vectorized per
-    feature over midpoints."""
+    """Best (feature, threshold) by variance reduction.  Dispatches to the
+    native C++ kernel (``native/cart.cpp``) when built — identical
+    semantics — else the vectorized-numpy path below."""
+    from .. import native
+
+    if native.available():
+        return native.cart_best_split(X, y)
     n, d = X.shape
     best_score, best = np.inf, None
     base_sum = y.sum(axis=0)

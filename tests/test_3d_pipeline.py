@@ -62,3 +62,21 @@ def test_3d_orientation_transport():
     q = np.asarray(tr.training_ori)
     assert q.shape == (len(X), 4)
     np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-8)
+
+
+def test_spiral_demo_generator():
+    """Synthetic spiral workload (example/3D/spiral.py): demo is a planar
+    spiral closed by a parabolic lift; surfaces are grid-aligned with the
+    target sampled from a smooth GP."""
+    from gaussian_process_transportation_tpu.data.datasets import spiral_demo
+
+    demo, old_s, new_s = spiral_demo(jax.random.PRNGKey(0), n_grid=12)
+    assert demo.shape[1] == 3 and old_s.shape == (12, 12, 3)
+    # spiral section is planar; lift peaks at z=1 (parabola vertex)
+    assert abs(demo[:360, 2]).max() == 0.0
+    np.testing.assert_allclose(demo[:, 2].max(), 1.0, atol=1e-2)
+    # lift connects spiral end back to its start
+    np.testing.assert_allclose(demo[-1, :2], demo[0, :2], atol=1e-9)
+    # surfaces share the xy grid; GP target is smooth but non-flat
+    np.testing.assert_allclose(old_s[..., :2], new_s[..., :2], atol=1e-6)
+    assert 1e-3 < np.abs(new_s[..., 2]).max() < 3.0
