@@ -1,12 +1,29 @@
-"""Directional-space averaging (SO(n) weighted mean of unit directions).
+"""Directional-space algebra on the unit sphere, general n-D.
 
-Re-implements the angle-space algebra of
-``obstacle_avoidance/obs_utils.py:398-476`` (``get_orthogonal_basis`` +
-``UnitDirection`` + ``get_directional_weighted_sum``) as closed-form
-batched math: each direction is mapped to an angle vector
-a = arccos(d·n̂) · t̂ in the tangent plane of the null direction, the
-weighted sum is taken there, and the result is mapped back with the
-exponential map  v = cos|a| n̂ + sin|a| (B_t a/|a|).
+Re-implements the angle-space machinery of
+``obstacle_avoidance/obs_utils.py`` as closed-form batched JAX:
+
+* ``orthogonal_basis``        — reference ``get_orthogonal_basis`` (:398-418).
+  The reference only fills the basis for D == 2 (for D ≥ 3 it returns a
+  matrix with just the first column set); here D ≥ 3 uses a Householder
+  completion, exact and jit/vmap-friendly for any D.
+* ``angle_from_vector`` / ``vector_from_angle`` — the log/exp maps that
+  ``UnitDirection.as_angle``/``as_vector`` compute (:280-297).  Angle-space
+  arithmetic (``UnitDirection.__add__``/``__mul__`` etc., :188-205) is plain
+  vector arithmetic on the (D−1,) angle coordinates.
+* ``invert_normal``           — reference ``UnitDirection.invert_normal``
+  (:218-231).  NOTE: the reference keeps the tangent direction unchanged,
+  which does not round-trip through the exp map on the negated base; this
+  implementation flips it (a′ = −â·(π−|a|)) so that
+  ``vector_from_angle(invert_normal(a), −base) == vector_from_angle(a, base)``
+  holds exactly — property-tested in ``tests/test_avoidance.py``.
+* ``transform_to_base``       — reference ``UnitDirection.transform_to_base``
+  (:302-346) without the multi-revolution windup heuristic (which only
+  matters when tracking angle paths across the ±π cut; all in-repo uses
+  re-derive angles per step).
+* ``directional_weighted_sum`` — reference ``get_directional_weighted_sum``
+  (:420-476): weighted mean taken in the tangent (angle) space of the null
+  direction, mapped back with the exponential map.
 """
 from __future__ import annotations
 
@@ -19,27 +36,85 @@ Array = jax.Array
 def orthogonal_basis(vector: Array) -> Array:
     """(D, D) orthonormal basis with the (normalized) vector as column 0.
 
-    2-D: tangent (−v₁, v₀) (reference ``get_orthogonal_basis``); 3-D: a
-    Gram-Schmidt completion."""
+    D == 2 keeps the reference's tangent convention (−v₁, v₀); D ≥ 3 uses a
+    Householder reflection mapping e₁ → n, which is orthonormal by
+    construction for any dimension (the reference's own implementation is
+    incomplete for D ≥ 3, ``obs_utils.py:412-417``).
+    """
     d = vector.shape[0]
-    n = vector / jnp.maximum(jnp.linalg.norm(vector), 1e-12)
+    norm = jnp.linalg.norm(vector)
+    n = jnp.where(
+        norm > 1e-12,
+        vector / jnp.maximum(norm, 1e-12),
+        jnp.zeros(d, vector.dtype).at[0].set(1.0),
+    )
+    if d == 1:
+        return n[None, :]
     if d == 2:
         t = jnp.stack([-n[1], n[0]])
         return jnp.stack([n, t], axis=-1)
-    if d == 3:
-        # pick the axis least aligned with n to seed Gram-Schmidt
-        a = jnp.where(jnp.abs(n[0]) < 0.9, jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
-        t1 = a - jnp.dot(a, n) * n
-        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
-        t2 = jnp.cross(n, t1)
-        return jnp.stack([n, t1, t2], axis=-1)
-    raise NotImplementedError(f"dimension {d}")
+    # Householder: v = n + s·e₁ maps e₁ → −s·n under H = I − 2vvᵀ/‖v‖²;
+    # scaling H by −s makes column 0 equal n while staying orthonormal.
+    s = jnp.where(n[0] >= 0, 1.0, -1.0).astype(n.dtype)
+    v = n.at[0].add(s)
+    H = jnp.eye(d, dtype=n.dtype) - (2.0 / jnp.dot(v, v)) * jnp.outer(v, v)
+    return -s * H
+
+
+def angle_from_vector(direction: Array, base: Array, cos_margin: float = 1e-9) -> Array:
+    """Log map: unit(ish) direction (D,) → angle coordinates (D−1,).
+
+    a = arccos(d·n̂) · t̂ with t̂ the unit tangent coordinates of d in the
+    base's tangent columns (reference ``get_angle_from_vector``)."""
+    d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
+    n = base[:, 0]
+    Bt = base[:, 1:]
+    cos_phi = jnp.clip(jnp.dot(d, n), -1.0 + cos_margin, 1.0 - cos_margin)
+    phi = jnp.arccos(cos_phi)
+    tang = Bt.T @ d  # (D-1,)
+    tnorm = jnp.linalg.norm(tang)
+    t_hat = jnp.where(tnorm > 1e-12, tang / jnp.maximum(tnorm, 1e-12), jnp.zeros_like(tang))
+    return phi * t_hat
+
+
+def vector_from_angle(angle: Array, base: Array) -> Array:
+    """Exp map: angle coordinates (D−1,) → unit vector (D,).
+
+    v = cos|a|·n̂ + sin|a|·B_t â (reference ``get_vector_from_angle``)."""
+    n = base[:, 0]
+    Bt = base[:, 1:]
+    a_norm = jnp.linalg.norm(angle)
+    a_hat = jnp.where(a_norm > 1e-12, angle / jnp.maximum(a_norm, 1e-12), jnp.zeros_like(angle))
+    return jnp.cos(a_norm) * n + jnp.sin(a_norm) * (Bt @ a_hat)
+
+
+def invert_normal(angle: Array) -> Array:
+    """Angle coordinates of the same direction w.r.t. the negated base.
+
+    |a′| = π − |a| and the tangent coordinates flip sign (the negated base
+    negates its tangent columns).  Pair with ``base → −base``.  Reference
+    ``UnitDirection.invert_normal`` (``obs_utils.py:218-231``) — see module
+    docstring for the sign deviation."""
+    a_norm = jnp.linalg.norm(angle)
+    a_hat = jnp.where(a_norm > 1e-12, angle / jnp.maximum(a_norm, 1e-12), jnp.zeros_like(angle))
+    scale = jnp.pi - a_norm
+    # at the center (|a| = 0) the inverted representation sits at distance π
+    # along an arbitrary tangent — pick the first axis like the reference
+    center = jnp.zeros_like(angle).at[0].set(jnp.pi)
+    return jnp.where(a_norm > 1e-12, -a_hat * scale, center)
+
+
+def transform_to_base(angle: Array, old_base: Array, new_base: Array) -> Array:
+    """Re-express angle coordinates w.r.t. a different base (plain
+    re-projection through the sphere; reference ``transform_to_base``,
+    ``obs_utils.py:302-346``, minus the windup tracking)."""
+    return angle_from_vector(vector_from_angle(angle, old_base), new_base)
 
 
 def directional_weighted_sum(
     null_direction: Array, directions: Array, weights: Array
 ) -> Array:
-    """Weighted directional mean relative to ``null_direction``.
+    """Weighted directional mean relative to ``null_direction`` — any D.
 
     null_direction: (D,) (need not be unit); directions: (D, K) unit-ish
     columns; weights: (K,) non-negative.  Zero-weight / zero-norm columns
@@ -62,7 +137,4 @@ def directional_weighted_sum(
     angles = t_hat * phi[None, :]  # (D-1, K)
 
     a = angles @ w  # (D-1,)
-    a_norm = jnp.linalg.norm(a)
-    a_hat = jnp.where(a_norm > 1e-12, a / jnp.maximum(a_norm, 1e-12), jnp.zeros_like(a))
-    v = jnp.cos(a_norm) * n + jnp.sin(a_norm) * (Bt @ a_hat)
-    return v
+    return vector_from_angle(a, base)

@@ -220,14 +220,11 @@ def sample_in_polygon(boundary: np.ndarray, num_samples: int, rng=None) -> np.nd
     pts = np.asarray(boundary)
     tri = Delaunay(pts)
     triangles = pts[tri.simplices]
-    areas = (
-        np.abs(
-            np.cross(
-                triangles[:, 1] - triangles[:, 0], triangles[:, 2] - triangles[:, 0]
-            )
-        )
-        / 2
-    )
+    # 2-D cross product spelled out: np.cross on 2-D inputs is removed in
+    # NumPy 2.x
+    e1 = triangles[:, 1] - triangles[:, 0]
+    e2 = triangles[:, 2] - triangles[:, 0]
+    areas = np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]) / 2
     counts = rng.multinomial(num_samples, areas / areas.sum())
     out = []
     for t, n in zip(triangles, counts):

@@ -370,6 +370,11 @@ def fit_jit(
     as one batched computation on the chip.
     """
     Y2 = Y if Y.ndim == 2 else Y[:, None]
+    # same NaN-row semantics as ``fit`` (reference gaussian_process.py:33-35).
+    # The filter is host-side (data-dependent shape), so it applies only to
+    # concrete inputs; under an outer jit/vmap the caller must pre-filter.
+    if not isinstance(jnp.asarray(X), jax.core.Tracer):
+        X, Y2 = _filter_nan_rows(X, Y2)
     X = jnp.asarray(X)
     Y2 = jnp.asarray(Y2)
     if key is None:

@@ -361,17 +361,9 @@ def fit_natgrad(
 
     hyper, Lam, h, losses = train(hyper, Lam, h, sched)
     theta, Z, raw_noise = hyper
-    m_w, L_raw = jax.vmap(
-        lambda Lt, ht: (jnp.linalg.inv(Lt) @ ht,
-                        _raw_from_chol(jnp.linalg.cholesky(add_diagonal(jnp.linalg.inv(Lt), 1e-10))))
-    )(Lam, h)
+    m_w, L_raw = jax.vmap(nat_to_moment)(Lam, h)
     params = SVGPParams(theta=theta, Z=Z, m_w=m_w, L_w_raw=L_raw, raw_noise=raw_noise)
     return SVGPState(params=params, kernel=kernel, jitter=jitter)
-
-
-def _raw_from_chol(L: Array) -> Array:
-    diag = jnp.diagonal(L)
-    return jnp.tril(L, -1) + jnp.diag(jnp.log(jnp.expm1(jnp.maximum(diag, 1e-10))))
 
 
 # ---------------------------------------------------------------------------

@@ -6,8 +6,20 @@ from .linalg import (
     log_det_from_chol,
 )
 
-from .mixed_linalg import (
+# Pallas-panel blocked Cholesky — the production large-N path.
+from .blocked_chol import (
+    BlockedCholesky,
     blocked_cholesky,
+    cholesky_panels,
+    factor_panel,
+    gram_cholesky_solve,
+    rbf_gram_panels,
+)
+
+# Experimental XLA-level mixed-precision variants (lose to the Pallas path
+# on TPU — kept for the PCG refinement and as a measured record).
+from .mixed_linalg import (
+    blocked_cholesky as blocked_cholesky_mixed,
     ir_solve,
     pcg_solve,
     gram_chol_solve_mixed,
@@ -19,7 +31,13 @@ __all__ = [
     "cho_solve_lower",
     "tri_solve_lower",
     "log_det_from_chol",
+    "BlockedCholesky",
     "blocked_cholesky",
+    "cholesky_panels",
+    "factor_panel",
+    "gram_cholesky_solve",
+    "rbf_gram_panels",
+    "blocked_cholesky_mixed",
     "ir_solve",
     "pcg_solve",
     "gram_chol_solve_mixed",

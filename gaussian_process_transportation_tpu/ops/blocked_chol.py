@@ -1,0 +1,427 @@
+"""Blocked Cholesky with a Pallas panel kernel — the large-N exact-GP hot path.
+
+Why this exists (measured on v5e-1, see CLAUDE.md):
+
+* ``jnp.linalg.cholesky`` on TPU runs at ~12-13 TFLOP/s f32 at N=10240 —
+  ~45% of the measured 27.6 TFLOP/s f32-highest matmul roofline — because
+  its panel factorizations and triangular solves lower to sequential
+  custom calls that ignore ``jax_default_matmul_precision``.
+* An XLA-level blocked right-looking Cholesky loses even to that: each
+  panel step pays a LAPACK-style small-cholesky custom call plus a
+  triangular-solve custom call, and those dominate the runtime.
+
+The fix is to *own the panel* in Mosaic: ``factor_panel`` is a single
+Pallas kernel that factors a (B, B) SPD block into its lower Cholesky L
+**and** the triangular inverse L⁻¹ in one pass — a Gauss-Jordan column
+loop over 128×128 sub-blocks on the VPU with MXU matmuls for sub-block
+corrections.  With L⁻¹ in hand, the outer algorithm needs **no**
+triangular-solve custom calls at all:
+
+* TRSM (panel below the diagonal)   → one GEMM against L⁻¹ᵀ (MXU),
+* trailing SYRK update              → exact-FLOPs column-chunked GEMMs,
+* forward/backward substitution     → blocked GEMMs with the retained
+                                      diagonal-block inverses.
+
+The matrix is held as a list of *lower-triangle column panels*
+``panels[k] : (N - k·B, B)`` — half the memory of a dense (N, N) buffer
+and, because every update replaces one whole panel functionally, XLA
+performs them in place (no giant dynamic-update-slice copies).
+
+Reference workloads this accelerates: the N=2500 surface Gram of
+``example/3D/surface_generalization_3D.py:50-51`` and the 20 000-point
+active-learning cap of ``models/gaussian_process_al.py:16``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_SB = 128  # sub-block edge: one VPU-tile-friendly factorization unit
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def _dot(a: Array, b: Array, precision) -> Array:
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Pallas panel kernel: chol + inverse of one (B, B) SPD block
+# ---------------------------------------------------------------------------
+
+
+def _factor_invert_base(D: Array) -> Tuple[Array, Array]:
+    """(L, L⁻¹) of one (SB, SB) SPD block via a Gauss-Jordan column loop.
+
+    Runs *inside* the Pallas kernel: SB sequential steps of pure VPU work
+    on (SB, SB) tiles — no custom calls, no MXU.  The same elimination
+    that builds L's columns is applied to the identity, so the triangular
+    inverse falls out of the very same loop.
+    """
+    SB = D.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)
+    eye = jnp.where(row_iota == col_iota, 1.0, 0.0).astype(D.dtype)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SB, 1), 0)
+
+    def step(j, carry):
+        M, LT, X = carry
+        # Mosaic has no dynamic_slice on register values — extract row j /
+        # column j with masked broadcast-reduces instead (one VPU reduce
+        # each).  The rank-1 update keeps M exactly symmetric, so the row
+        # and column extractions never need a lane↔sublane transpose.
+        row = jnp.sum(jnp.where(row_iota == j, M, 0.0), axis=0, keepdims=True)
+        col = jnp.sum(jnp.where(col_iota == j, M, 0.0), axis=1, keepdims=True)
+        djj = jnp.sum(jnp.where(lane == j, row, 0.0))
+        d = jax.lax.rsqrt(djj)
+        colv = jnp.where(lane >= j, row * d, 0.0)        # (1, SB) = L[:, j]ᵀ
+        colT = jnp.where(sub >= j, col * d, 0.0)         # (SB, 1) = L[:, j]
+        # trailing rank-1 update (applied everywhere; entries with
+        # row/col < j are never read again)
+        M = M - colT * colv
+        # accumulate Lᵀ row j
+        LT = jnp.where(row_iota == j, colv, LT)
+        # Gauss-Jordan on the identity: row j of X scales by d, rows i > j
+        # subtract l_ij · (d · X[j, :])
+        xrow = jnp.sum(jnp.where(row_iota == j, X, 0.0), axis=0, keepdims=True) * d
+        below = jnp.where(sub > j, colT, 0.0)
+        X = X - below * xrow
+        X = jnp.where(row_iota == j, xrow, X)
+        return M, LT, X
+
+    M0 = D
+    LT0 = jnp.zeros_like(D)
+    X0 = eye
+    _, LT, X = jax.lax.fori_loop(0, SB, step, (M0, LT0, X0))
+    return LT.T, X
+
+
+def _panel_kernel(a_ref, l_ref, linv_ref):
+    """Factor one (B, B) SPD block: L (lower Cholesky) and L⁻¹.
+
+    B = NB·128; the Python loop over NB sub-panels is unrolled at trace
+    time.  Left-looking: each diagonal sub-block is corrected with MXU
+    matmuls over the already-factored columns, then factored+inverted by
+    the sequential VPU loop above.
+    """
+    B = a_ref.shape[0]
+    NB = B // _SB
+    A = a_ref[:]
+
+    # L sub-blocks, indexed [i][s] (i >= s), each (SB, SB)
+    Lb = [[None] * NB for _ in range(NB)]
+    Xd = [None] * NB  # diagonal-block inverses
+
+    for s in range(NB):
+        sl = slice(s * _SB, (s + 1) * _SB)
+        D = A[sl, sl]
+        for m in range(s):
+            D = D - _dot(Lb[s][m], Lb[s][m].T, _HIGHEST)
+        Ld, Xs = _factor_invert_base(D)
+        Lb[s][s] = Ld
+        Xd[s] = Xs
+        for i in range(s + 1, NB):
+            il = slice(i * _SB, (i + 1) * _SB)
+            R = A[il, sl]
+            for m in range(s):
+                R = R - _dot(Lb[i][m], Lb[s][m].T, _HIGHEST)
+            Lb[i][s] = _dot(R, Xs.T, _HIGHEST)
+
+    # triangular inverse off-diagonal blocks:
+    #   X[i][s] = -X[i][i] · Σ_{m=s}^{i-1} L[i][m] · X[m][s]
+    Xb = [[None] * NB for _ in range(NB)]
+    for s in range(NB):
+        Xb[s][s] = Xd[s]
+        for i in range(s + 1, NB):
+            acc = _dot(Lb[i][s], Xb[s][s], _HIGHEST)
+            for m in range(s + 1, i):
+                acc = acc + _dot(Lb[i][m], Xb[m][s], _HIGHEST)
+            Xb[i][s] = -_dot(Xd[i], acc, _HIGHEST)
+
+    zero = jnp.zeros((_SB, _SB), jnp.float32)
+    l_ref[:] = jnp.block(
+        [[Lb[i][s] if s <= i else zero for s in range(NB)] for i in range(NB)]
+    )
+    linv_ref[:] = jnp.block(
+        [[Xb[i][s] if s <= i else zero for s in range(NB)] for i in range(NB)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factor_panel(A: Array, interpret: Optional[bool] = None) -> Tuple[Array, Array]:
+    """(L, L⁻¹) of one (B, B) SPD block, B a multiple of 128.
+
+    One Pallas kernel — the whole panel factorization runs on-core with
+    zero dispatch overhead between its B column steps.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    B = A.shape[0]
+    if B % _SB:
+        raise ValueError(f"panel size {B} must be a multiple of {_SB}")
+    A = A.astype(jnp.float32)
+    out_shape = (
+        jax.ShapeDtypeStruct((B, B), jnp.float32),
+        jax.ShapeDtypeStruct((B, B), jnp.float32),
+    )
+    return pl.pallas_call(
+        _panel_kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=bool(interpret),
+    )(A)
+
+
+# ---------------------------------------------------------------------------
+# Outer blocked algorithm on lower-triangle column panels
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class BlockedCholesky:
+    """Lower Cholesky factor held as column panels + diag-block inverses.
+
+    ``panels[k]`` is the (N − k·B, B) slice of L below and including the
+    k-th diagonal block; ``linvs`` is (P, B, B) with L_kk⁻¹.  ``n`` is the
+    logical (unpadded) dimension — rows/cols beyond it factor an identity
+    padding block and are sliced away by :meth:`solve`.
+    """
+
+    def __init__(self, panels: Sequence[Array], linvs: Array, n: int):
+        self.panels = tuple(panels)
+        self.linvs = linvs
+        self.n = n
+
+    @property
+    def block(self) -> int:
+        return self.panels[0].shape[1]
+
+    @property
+    def padded_n(self) -> int:
+        return self.panels[0].shape[0]
+
+    def tree_flatten(self):
+        return (self.panels, self.linvs), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        panels, linvs = children
+        return cls(panels, linvs, aux[0])
+
+    # -- dense reconstruction (tests / small N only) ----------------------
+    def dense(self) -> Array:
+        Np, B = self.padded_n, self.block
+        L = jnp.zeros((Np, Np), jnp.float32)
+        for k, p in enumerate(self.panels):
+            L = L.at[k * B :, k * B : (k + 1) * B].set(p)
+        return L[: self.n, : self.n]
+
+    def logdet(self) -> Array:
+        """log det K = 2 Σ log diag(L), padding blocks excluded."""
+        B = self.block
+        total = jnp.asarray(0.0, jnp.float32)
+        for k, p in enumerate(self.panels):
+            d = jnp.diagonal(p[:B])
+            idx = k * B + jnp.arange(B)
+            total = total + jnp.sum(jnp.where(idx < self.n, jnp.log(d), 0.0))
+        return 2.0 * total
+
+    def solve(self, b: Array, precision=_HIGHEST) -> Array:
+        """(L Lᵀ)⁻¹ b by blocked substitution — GEMMs against the retained
+        diag-block inverses instead of triangular-solve custom calls."""
+        B = self.block
+        P = len(self.panels)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        nrhs = b.shape[1]
+        pad = self.padded_n - b.shape[0]
+        if pad:
+            b = jnp.concatenate([b, jnp.zeros((pad, nrhs), b.dtype)], axis=0)
+        b = b.astype(jnp.float32)
+
+        # forward: y_j = L_jj⁻¹ (b_j − Σ_{k<j} L[j,k] y_k)
+        ys = []
+        for j in range(P):
+            s = b[j * B : (j + 1) * B]
+            for k in range(j):
+                Ljk = self.panels[k][(j - k) * B : (j - k + 1) * B]
+                s = s - _dot(Ljk, ys[k], precision)
+            ys.append(_dot(self.linvs[j], s, precision))
+        # backward: x_j = L_jj⁻ᵀ (y_j − Σ_{k>j} L[k,j]ᵀ x_k)
+        xs: list = [None] * P
+        for j in reversed(range(P)):
+            s = ys[j]
+            for k in range(j + 1, P):
+                Lkj = self.panels[j][(k - j) * B : (k - j + 1) * B]
+                s = s - _dot(Lkj.T, xs[k], precision)
+            xs[j] = _dot(self.linvs[j].T, s, precision)
+        x = jnp.concatenate(xs, axis=0)[: self.n]
+        return x[:, 0] if squeeze else x
+
+    def solve_lower(self, b: Array, precision=_HIGHEST) -> Array:
+        """L⁻¹ b (forward substitution only) — e.g. for whitening k*."""
+        B = self.block
+        P = len(self.panels)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        nrhs = b.shape[1]
+        pad = self.padded_n - b.shape[0]
+        if pad:
+            b = jnp.concatenate([b, jnp.zeros((pad, nrhs), b.dtype)], axis=0)
+        b = b.astype(jnp.float32)
+        ys = []
+        for j in range(P):
+            s = b[j * B : (j + 1) * B]
+            for k in range(j):
+                Ljk = self.panels[k][(j - k) * B : (j - k + 1) * B]
+                s = s - _dot(Ljk, ys[k], precision)
+            ys.append(_dot(self.linvs[j], s, precision))
+        y = jnp.concatenate(ys, axis=0)[: self.n]
+        return y[:, 0] if squeeze else y
+
+
+def _split_panels(K: Array, B: int, n: int, diag_pad: float = 1.0) -> list:
+    """Lower-triangle column panels of K padded to a multiple of B with an
+    identity-scaled diagonal block (padding never couples to real rows)."""
+    Np = -(-n // B) * B
+    pad = Np - n
+    if pad:
+        K = jnp.pad(K.astype(jnp.float32), ((0, pad), (0, pad)))
+        idx = n + jnp.arange(pad)
+        K = K.at[idx, idx].set(diag_pad)
+    return [K[k * B :, k * B : (k + 1) * B] for k in range(Np // B)]
+
+
+def cholesky_panels(
+    panels: Sequence[Array],
+    n: int,
+    precision=_HIGHEST,
+    interpret: Optional[bool] = None,
+) -> BlockedCholesky:
+    """Right-looking blocked Cholesky over lower-triangle column panels.
+
+    The Python loop over the P panels is unrolled at trace time, so every
+    GEMM has a static shape and exact FLOPs (the trailing SYRK touches
+    only lower-triangle blocks).  ``precision`` sets the MXU pass count
+    for the TRSM/SYRK GEMMs (HIGHEST = 6-pass f32; HIGH = 3-pass bf16x3,
+    ~2× faster with near-f32 accuracy); the panel kernel itself is always
+    full f32.
+    """
+    B = panels[0].shape[1]
+    P = len(panels)
+    work = [p.astype(jnp.float32) for p in panels]
+    L_panels: list = [None] * P
+    linvs: list = [None] * P
+    for k in range(P):
+        pk = work[k]
+        Lkk, Linv = factor_panel(pk[:B], interpret=interpret)
+        linvs[k] = Linv
+        if pk.shape[0] > B:
+            below = _dot(pk[B:], Linv.T, precision)  # TRSM as GEMM
+            Lk = jnp.concatenate([Lkk, below], axis=0)
+        else:
+            Lk = Lkk
+        L_panels[k] = Lk
+        for j in range(k + 1, P):  # exact-FLOPs trailing update
+            off = (j - k) * B
+            Ljk = Lk[off : off + B]
+            work[j] = work[j] - _dot(Lk[off:], Ljk.T, precision)
+    return BlockedCholesky(L_panels, jnp.stack(linvs), n)
+
+
+def blocked_cholesky(
+    K: Array,
+    block: int = 512,
+    precision=_HIGHEST,
+    interpret: Optional[bool] = None,
+) -> BlockedCholesky:
+    """Blocked Cholesky of a dense SPD K (N, N); N need not divide block."""
+    n = K.shape[0]
+    B = min(block, -(-n // _SB) * _SB)
+    return cholesky_panels(_split_panels(K, B, n), n, precision, interpret)
+
+
+def rbf_gram_panels(
+    X: Array,
+    lengthscale: Array,
+    amplitude,
+    noise,
+    block: int,
+    precision=_HIGHEST,
+) -> Tuple[list, int]:
+    """Lower-triangle column panels of amp·exp(−½‖(x−x′)/ℓ‖²) + noise·I,
+    built panel-by-panel — the full (N, N) Gram never exists in HBM.
+
+    Padding rows use far-away pseudo-points so their off-diagonal kernel
+    values underflow to 0; their diagonal is amp+noise (a positive block
+    the factorization consumes and :meth:`BlockedCholesky.solve` ignores).
+    """
+    n = X.shape[0]
+    Np = -(-n // block) * block
+    ls = jnp.atleast_1d(jnp.asarray(lengthscale)).astype(jnp.float32)
+    Z = (X / ls).astype(jnp.float32)
+    if Np > n:
+        far = 1e6 * (1.0 + jnp.arange(Np - n, dtype=jnp.float32))[:, None]
+        Z = jnp.concatenate([Z, jnp.broadcast_to(far, (Np - n, Z.shape[1]))], 0)
+    sq = jnp.sum(Z * Z, axis=1)
+    amp = jnp.asarray(amplitude, jnp.float32)
+    noise = jnp.asarray(noise, jnp.float32)
+    panels = []
+    for k in range(Np // block):
+        rows = Z[k * block :]
+        cols = Z[k * block : (k + 1) * block]
+        cross = _dot(rows, cols.T, precision)
+        d2 = jnp.maximum(
+            sq[k * block :, None] + sq[None, k * block : (k + 1) * block] - 2 * cross,
+            0.0,
+        )
+        p = amp * jnp.exp(-0.5 * d2)
+        ridx = jnp.arange(p.shape[0])[:, None]
+        cidx = jnp.arange(block)[None, :]
+        p = jnp.where(ridx == cidx, p + noise, p)
+        panels.append(p)
+    return panels, n
+
+
+def gram_cholesky_solve(
+    X: Array,
+    Y: Array,
+    lengthscale: Array,
+    amplitude,
+    noise,
+    block: int = 512,
+    precision=_HIGHEST,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, BlockedCholesky]:
+    """Fused K=k(X,X)+σ²I → blocked Cholesky → α = K⁻¹Y.
+
+    The whole pipeline is custom-call-free: Gram panels and TRSM/SYRK run
+    on the MXU, panel factorizations in one Pallas kernel each, and the
+    solve is blocked substitution with the retained diag-block inverses.
+    """
+    panels, n = rbf_gram_panels(X, lengthscale, amplitude, noise, block, precision)
+    chol = cholesky_panels(panels, n, precision, interpret)
+    alpha = chol.solve(Y, precision)
+    return alpha, chol

@@ -191,8 +191,12 @@ def pcg_solve(
         return (x, r, p, rz_new), None
 
     (x, r, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
-    rel = jnp.linalg.norm(B - jnp.dot(K, x, precision=prec)) / jnp.maximum(
-        jnp.linalg.norm(B), 1e-30
+    # per-column relative residual, reduced by max so one badly converged
+    # RHS column cannot hide behind well-converged ones when callers gate
+    resid = B - jnp.dot(K, x, precision=prec)
+    rel = jnp.max(
+        jnp.linalg.norm(resid, axis=0)
+        / jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-30)
     )
     return x, rel
 
@@ -207,12 +211,20 @@ def gram_chol_solve_mixed(
     iters: int = 24,
     emulate_bf16: bool = False,
 ) -> Tuple[Array, Array, Array]:
-    """Full large-N GP conditioning: Gram (full accuracy) → mixed-precision
+    """Large-N GP conditioning: Gram (full accuracy) → mixed-precision
     blocked Cholesky → PCG-refined solve.  Returns ``(alpha, L, rel_residual)``.
 
-    This is the fast path for the N≳10k exact-GP workloads (reference 3D
-    surfaces use N=2500, active-learning path up to 20k); accuracy is
-    restored by refinement, certified by ``rel_residual``.
+    **Status (measured on v5e-1): experimental — loses to the builtin at
+    the XLA level** (~3× slower; per-panel small chol/trsm custom calls
+    dominate — see module header and CLAUDE.md).  The production large-N
+    path is ``ops.blocked_chol.gram_cholesky_solve`` (Pallas panel
+    kernel).  What remains useful here is the PCG refinement: ``alpha``
+    is refined to full working precision and certified by
+    ``rel_residual`` (max over RHS columns).
+
+    ``L`` is the *low-precision* factor used only as the PCG
+    preconditioner — it carries bf16-scale error and must NOT be used for
+    predictive variance or log-determinants without its own refinement.
     """
     Km = add_diagonal(kernel(X), jitter)
     L = blocked_cholesky(

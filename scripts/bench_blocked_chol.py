@@ -1,0 +1,97 @@
+"""Measure the Pallas-panel blocked Cholesky on the real TPU chip.
+
+Usage: python scripts/bench_blocked_chol.py [N] [block] [precision]
+Prints accuracy vs f64 CPU golden and TFLOP/s for ours vs the XLA builtin.
+Timing forces a host transfer (np.asarray) — block_until_ready does not
+synchronize over the axon tunnel (CLAUDE.md).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+BLOCK = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+PREC_NAME = sys.argv[3] if len(sys.argv) > 3 else "highest"
+PREC = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT}[PREC_NAME]
+ITERS = int(os.environ.get("ITERS", "5"))
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from gaussian_process_transportation_tpu.ops.blocked_chol import gram_cholesky_solve
+from gaussian_process_transportation_tpu.ops.linalg import add_diagonal, cho_solve_lower
+
+print(f"N={N} block={BLOCK} precision={PREC_NAME} backend={jax.default_backend()}",
+      flush=True)
+
+rng = np.random.default_rng(0)
+X = rng.standard_normal((N, 3)).astype(np.float32)
+Y = rng.standard_normal((N, 3)).astype(np.float32)
+ls = np.array([1.0, 1.0, 1.0], np.float32)
+amp, noise = 2.0, 0.1
+
+# f64 golden on CPU
+t0 = time.perf_counter()
+cpu = jax.devices("cpu")[0]
+X64 = X.astype(np.float64)
+sq = (X64 * X64).sum(1)
+D2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X64 @ X64.T), 0.0)
+K64 = amp * np.exp(-0.5 * D2) + noise * np.eye(N)
+a64 = np.linalg.solve(K64, Y.astype(np.float64))
+print(f"golden f64 solve: {time.perf_counter()-t0:.1f}s", flush=True)
+del D2, K64
+
+Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+lsd = jnp.asarray(ls)
+
+fused = jax.jit(lambda Xs, Ys: gram_cholesky_solve(
+    Xs, Ys, lsd, amp, noise, block=BLOCK, precision=PREC, interpret=False)[0])
+
+t0 = time.perf_counter()
+alpha = np.asarray(fused(Xd, Yd))
+print(f"ours compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+err = np.abs(alpha - a64).max() / np.abs(a64).max()
+print(f"ours alpha rel err vs f64: {err:.2e}", flush=True)
+
+flops = 2 * N * N * 3 + N**3 / 3 + 4 * N * N * 3
+
+times = []
+for _ in range(ITERS):
+    t0 = time.perf_counter()
+    out = np.asarray(fused(Xd, Yd)[0, 0])
+    times.append(time.perf_counter() - t0)
+dt = float(np.median(times))
+print(f"ours: {dt*1e3:.1f} ms median (all: {[f'{t*1e3:.0f}' for t in times]}) "
+      f"-> {flops/dt/1e12:.2f} TFLOP/s", flush=True)
+
+# builtin comparison
+kern_amp, kern_noise = amp, noise
+
+
+@jax.jit
+def builtin(Xs, Ys):
+    sqd = jnp.sum(Xs * Xs, 1)
+    d2 = jnp.maximum(sqd[:, None] + sqd[None, :] - 2 * Xs @ Xs.T, 0.0)
+    Km = add_diagonal(kern_amp * jnp.exp(-0.5 * d2), kern_noise)
+    L = jnp.linalg.cholesky(Km)
+    return cho_solve_lower(L, Ys)
+
+
+t0 = time.perf_counter()
+ab = np.asarray(builtin(Xd, Yd))
+print(f"builtin compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+print(f"builtin alpha rel err vs f64: {np.abs(ab - a64).max()/np.abs(a64).max():.2e}",
+      flush=True)
+times = []
+for _ in range(ITERS):
+    t0 = time.perf_counter()
+    out = np.asarray(builtin(Xd, Yd)[0, 0])
+    times.append(time.perf_counter() - t0)
+dt = float(np.median(times))
+print(f"builtin: {dt*1e3:.1f} ms median -> {flops/dt/1e12:.2f} TFLOP/s", flush=True)

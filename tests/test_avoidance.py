@@ -213,3 +213,95 @@ def test_batched_rollout_many_agents():
     assert traj.shape == (100, 50, 2)
     d = np.linalg.norm(np.asarray(traj) - np.array([5.0, 0.0]), axis=2)
     assert d.min() > 1.3
+
+
+# ---------------------------------------------------------------------------
+# n-D directional algebra (VERDICT r1 item 7: general-D parity with
+# obs_utils.py:86-418)
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+from gaussian_process_transportation_tpu.avoidance.directional import (
+    angle_from_vector,
+    invert_normal,
+    orthogonal_basis,
+    transform_to_base,
+    vector_from_angle,
+)
+
+
+@_pytest.mark.parametrize("D", [2, 3, 4, 5, 8])
+def test_orthogonal_basis_nd_is_orthonormal(D):
+    rng2 = np.random.RandomState(3 + D)
+    for _ in range(5):
+        v = rng2.randn(D)
+        B = np.asarray(orthogonal_basis(jnp.asarray(v)))
+        assert np.allclose(B.T @ B, np.eye(D), atol=1e-9)
+        assert np.allclose(B[:, 0], v / np.linalg.norm(v), atol=1e-9)
+
+
+@_pytest.mark.parametrize("D", [2, 3, 5, 8])
+def test_angle_vector_roundtrip_nd(D):
+    rng2 = np.random.RandomState(11 + D)
+    base = np.asarray(orthogonal_basis(jnp.asarray(rng2.randn(D))))
+    for _ in range(6):
+        d = rng2.randn(D)
+        d = d / np.linalg.norm(d)
+        a = angle_from_vector(jnp.asarray(d), jnp.asarray(base))
+        v = np.asarray(vector_from_angle(a, jnp.asarray(base)))
+        assert np.allclose(v, d, atol=1e-6)
+
+
+@_pytest.mark.parametrize("D", [2, 3, 5])
+def test_invert_normal_roundtrips_through_negated_base(D):
+    rng2 = np.random.RandomState(17 + D)
+    base = np.asarray(orthogonal_basis(jnp.asarray(rng2.randn(D))))
+    for _ in range(6):
+        d = rng2.randn(D)
+        d = d / np.linalg.norm(d)
+        a = angle_from_vector(jnp.asarray(d), jnp.asarray(base))
+        a_inv = invert_normal(a)
+        v = np.asarray(vector_from_angle(a_inv, jnp.asarray(-base)))
+        assert np.allclose(v, d, atol=1e-6)
+        # |a| + |a'| = pi (the two representations straddle the equator)
+        assert np.isclose(float(jnp.linalg.norm(a)) + float(jnp.linalg.norm(a_inv)), np.pi, atol=1e-6)
+
+
+@_pytest.mark.parametrize("D", [3, 5])
+def test_transform_to_base_preserves_vector(D):
+    rng2 = np.random.RandomState(23 + D)
+    b1 = np.asarray(orthogonal_basis(jnp.asarray(rng2.randn(D))))
+    b2 = np.asarray(orthogonal_basis(jnp.asarray(rng2.randn(D))))
+    d = rng2.randn(D)
+    d = d / np.linalg.norm(d)
+    a1 = angle_from_vector(jnp.asarray(d), jnp.asarray(b1))
+    a2 = transform_to_base(a1, jnp.asarray(b1), jnp.asarray(b2))
+    v = np.asarray(vector_from_angle(a2, jnp.asarray(b2)))
+    assert np.allclose(v, d, atol=1e-6)
+
+
+@_pytest.mark.parametrize("D", [4, 6])
+def test_directional_weighted_sum_nd_vs_numpy(D):
+    """Inline numpy re-implementation of the reference algorithm
+    (obs_utils.py:420-476) in general D, using the same basis."""
+    rng2 = np.random.RandomState(31 + D)
+    null = rng2.randn(D)
+    K = 4
+    dirs = rng2.randn(D, K)
+    w = np.abs(rng2.rand(K))
+    base = np.asarray(orthogonal_basis(jnp.asarray(null)))
+
+    n, Bt = base[:, 0], base[:, 1:]
+    a_sum = np.zeros(D - 1)
+    for k in range(K):
+        dk = dirs[:, k] / np.linalg.norm(dirs[:, k])
+        phi = np.arccos(np.clip(dk @ n, -1, 1))
+        t = Bt.T @ dk
+        tn = np.linalg.norm(t)
+        t_hat = t / tn if tn > 1e-12 else np.zeros(D - 1)
+        a_sum = a_sum + w[k] * phi * t_hat
+    an = np.linalg.norm(a_sum)
+    expected = np.cos(an) * n + (np.sin(an) * (Bt @ (a_sum / an)) if an > 1e-12 else 0.0)
+
+    out = np.asarray(directional_weighted_sum(jnp.asarray(null), jnp.asarray(dirs), jnp.asarray(w)))
+    assert np.allclose(out, expected, atol=1e-8)

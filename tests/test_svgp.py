@@ -148,3 +148,25 @@ def test_natgrad_converges_faster_per_pass():
     truth = np.stack([np.cos(xq[:, 0]), np.sin(xq[:, 0])], axis=1)
     assert np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)) < 0.1
     assert np.isfinite(np.asarray(std)).all()
+
+
+def test_natgrad_collapsed_posterior_matches_adam_converged():
+    """VERDICT r1 item 8: on a converged run the two optimizers must agree —
+    the natural-gradient path's collapsed posterior is the same posterior,
+    not merely a better ELBO."""
+    N = 300
+    X = np.linspace(0, 2 * np.pi, N)[:, None]
+    Y = np.stack([np.cos(X[:, 0]), np.sin(X[:, 0])], axis=1) + 0.05 * rng.randn(N, 2)
+    kernel = K.Constant(1.0) * K.RBF(jnp.ones(1))
+    common = dict(num_inducing=30, batch_size=100, key=jax.random.PRNGKey(0))
+    s_adam = svgp.fit(kernel, jnp.asarray(X), jnp.asarray(Y),
+                      num_epochs=400, learning_rate=0.05, **common)
+    s_nat = svgp.fit_natgrad(kernel, jnp.asarray(X), jnp.asarray(Y),
+                             num_epochs=60, learning_rate=0.05, **common)
+    xq = np.linspace(0.3, 2 * np.pi - 0.3, 50)[:, None]
+    m_adam, sd_adam = svgp.posterior_f(svgp.collapse(s_adam), jnp.asarray(xq))
+    m_nat, sd_nat = svgp.posterior_f(svgp.collapse(s_nat), jnp.asarray(xq))
+    scale = float(np.abs(np.asarray(m_adam)).max())
+    assert np.abs(np.asarray(m_nat) - np.asarray(m_adam)).max() < 0.12 * scale
+    # predictive stds agree to the same order (both small, well-fit data)
+    assert float(np.abs(np.asarray(sd_nat) - np.asarray(sd_adam)).max()) < 0.1
