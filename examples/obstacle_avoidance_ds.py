@@ -93,20 +93,78 @@ def main():
     gb = float(np.asarray(gamma(obs, jnp.asarray(np.asarray(trajb).reshape(-1, 2)))).min())
     print(f"50-agent linear DS: min Γ = {gb:.3f}, traj shape {np.asarray(trajb).shape}")
 
+    # --- demo 3: the ROAM-2023 vector-field scene --------------------------
+    # Exact reproduction of the reference's figure setup
+    # (non_linear_DS_from_ROAM_2023.py:29-76): three rotated ellipses with
+    # off-center reference points, wavy DS toward attractor (-1, -1),
+    # 20×20 grid, raw vs modulated field — here ONE batched avoid() call
+    # over all 400 grid points instead of the reference's double loop.
+    obs_roam = Obstacles.from_dicts(
+        [
+            {"shape": "ellipse", "center": np.array([0.20, -3.1]),
+             "reference_point": np.array([0.0, 0.3]),
+             "axis_length": np.array([0.3, 0.7]), "orientation": 0},
+            {"shape": "ellipse", "center": np.array([0.45, -2.65]),
+             "reference_point": np.array([0.0, 0.3]),
+             "axis_length": np.array([0.3, 0.7]), "orientation": 120},
+            {"shape": "ellipse", "center": np.array([-0.05, -2.65]),
+             "reference_point": np.array([0.0, 0.3]),
+             "axis_length": np.array([0.3, 0.7]), "orientation": 240},
+        ]
+    )
+    attractor_roam = jnp.asarray([-1.0, -1.0])
+
+    def wavy_roam(x):
+        diff = attractor_roam[None, :] - x
+        dist = jnp.linalg.norm(diff, axis=1)
+        c, s = jnp.cos(jnp.sin(dist)), jnp.sin(jnp.sin(dist))
+        R = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], axis=1)
+        return (R @ diff[:, :, None])[:, :, 0]
+
+    gx, gy = np.meshgrid(np.linspace(-5, 1, 20), np.linspace(-5, 1, 20))
+    grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], axis=1))
+    raw_field = np.asarray(wavy_roam(grid))
+    mod_field = np.array(jax.jit(lambda g: avoid(obs_roam, g, wavy_roam(g)))(grid))
+    inside = np.asarray(gamma(obs_roam, grid)).min(axis=0) <= 1.0
+    mod_field[inside] = 0.0  # modulation diverges inside obstacles (Γ ≤ 1)
+    outside = np.asarray(gamma(obs_roam, grid)).min(axis=0) > 1.0  # (K,N) → per-point
+    print(
+        f"ROAM field: {outside.sum()}/400 grid points outside obstacles; "
+        f"modulated field finite: {np.isfinite(mod_field[outside]).all()}"
+    )
+
     if args.plot:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        fig, axes = plt.subplots(1, 3, figsize=(17, 5))
         for a, tr, title in ((axes[0], traj, "wavy DS + avoid()"),
                              (axes[1], np.asarray(trajb), "50-agent modulated linear DS")):
             for i in range(tr.shape[1]):
                 a.plot(tr[:, i, 0], tr[:, i, 1], lw=0.8)
-            th = np.linspace(0, 2 * np.pi, 100)
             a.scatter(*np.asarray(attractor), marker="*", s=150, c="k")
             a.set_title(title)
+        # ROAM scene: normalized raw (green) vs modulated (magenta) quivers
+        a = axes[2]
+        rn = raw_field / np.maximum(np.linalg.norm(raw_field, axis=1, keepdims=True), 1e-9)
+        mn = mod_field / np.maximum(np.linalg.norm(mod_field, axis=1, keepdims=True), 1e-9)
+        a.quiver(gx, gy, rn[:, 0].reshape(gx.shape), rn[:, 1].reshape(gx.shape),
+                 scale=35, width=0.004, color="g", alpha=0.6)
+        a.quiver(gx, gy, mn[:, 0].reshape(gx.shape), mn[:, 1].reshape(gx.shape),
+                 scale=35, width=0.004, color="m", alpha=0.8)
+        a.plot(-1.0, -1.0, "k*", markersize=14)
+        th = np.linspace(0, 2 * np.pi, 60)
+        for k in range(3):
+            c = np.asarray(obs_roam.center[k])
+            ax_l = np.asarray(obs_roam.axis_length[k]) / 2.0
+            ang = float(obs_roam.orientation[k]) * np.pi / 180.0
+            R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+            ring = (R @ np.stack([ax_l[0] * np.cos(th), ax_l[1] * np.sin(th)])).T + c
+            a.fill(ring[:, 0], ring[:, 1], color=(0.5, 0.2, 0.2), alpha=0.7)
+        a.set_aspect("equal")
+        a.set_title("ROAM-2023 wavy field: raw vs modulated")
         fig.savefig("obstacle_avoidance_ds.png", dpi=120)
         print("saved obstacle_avoidance_ds.png")
 

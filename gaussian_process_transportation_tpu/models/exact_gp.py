@@ -175,6 +175,44 @@ def white_noise_level(kernel: Kernel) -> Array:
     return jnp.asarray(0.0)
 
 
+def rbf_family_params(kernel: Kernel):
+    """(amplitude, lengthscale) when the kernel is the C·RBF(+White)
+    transport family (the reference's default,
+    ``gaussian_process_transportation.py:12``); None otherwise.
+
+    White contributes nothing to cross-covariances, so it is ignored for
+    the k(X*, X) fast path."""
+    if isinstance(kernel, Sum):
+        if isinstance(kernel.k2, White):
+            return rbf_family_params(kernel.k1)
+        if isinstance(kernel.k1, White):
+            return rbf_family_params(kernel.k2)
+        return None
+    if isinstance(kernel, Product):
+        if isinstance(kernel.k1, Constant) and isinstance(kernel.k2, RBF):
+            return kernel.k1.constant_value, jnp.atleast_1d(kernel.k2.lengthscale)
+        if isinstance(kernel.k2, Constant) and isinstance(kernel.k1, RBF):
+            return kernel.k2.constant_value, jnp.atleast_1d(kernel.k1.lengthscale)
+        return None
+    if isinstance(kernel, RBF):
+        return jnp.asarray(1.0), jnp.atleast_1d(kernel.lengthscale)
+    return None
+
+
+# Route the dense-grid posterior mean through the fused Pallas kernel when
+# the (Nq × N) Gram would be this many elements or more — below it the XLA
+# path's fusion is already fine and the pallas_call overhead dominates.
+_FUSED_PREDICT_MIN_ELEMS = 2**21
+
+
+def _use_fused_predict(gp: ExactGP, x: Array) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if x.ndim != 2 or gp.X.ndim != 2:  # batched/vmapped layouts keep XLA
+        return False
+    return x.shape[0] * gp.X.shape[0] >= _FUSED_PREDICT_MIN_ELEMS
+
+
 def predict(
     gp: ExactGP,
     x: Array,
@@ -187,7 +225,21 @@ def predict(
     ``epistemic_only`` additionally subtracts sqrt(noise_level) from the std,
     reproducing the reference's convention
     (``models/gaussian_process.py:49``).
+
+    Dense-grid means (the reference's 100×100-grid vector fields,
+    ``plot_utils.py:181-207``) route through the fused Pallas kernel
+    (``ops.pallas_gram.fused_gp_predict_mean``) on TPU at Nq·N ≥ 2²¹ —
+    the (Nq, N) Gram never touches HBM.
     """
+    params = rbf_family_params(gp.kernel) if _use_fused_predict(gp, x) else None
+    if params is not None and not return_std:
+        from ..ops.pallas_gram import fused_gp_predict_mean
+
+        amp, ls = params
+        return fused_gp_predict_mean(
+            x, gp.X, gp.alpha, ls, amp, interpret=False
+        ).astype(gp.alpha.dtype)
+
     k_star = gp.kernel(x, gp.X)  # cross-cov: White contributes zeros
     mean = jnp.dot(k_star, gp.alpha, precision=_HI)
     if not return_std:

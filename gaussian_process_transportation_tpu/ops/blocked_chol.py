@@ -246,59 +246,56 @@ class BlockedCholesky:
             total = total + jnp.sum(jnp.where(idx < self.n, jnp.log(d), 0.0))
         return 2.0 * total
 
-    def solve(self, b: Array, precision=_HIGHEST) -> Array:
-        """(L Lᵀ)⁻¹ b by blocked substitution — GEMMs against the retained
-        diag-block inverses instead of triangular-solve custom calls."""
-        B = self.block
-        P = len(self.panels)
+    def _pad_rhs(self, b: Array):
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
-        nrhs = b.shape[1]
         pad = self.padded_n - b.shape[0]
         if pad:
-            b = jnp.concatenate([b, jnp.zeros((pad, nrhs), b.dtype)], axis=0)
-        b = b.astype(jnp.float32)
+            b = jnp.concatenate(
+                [b, jnp.zeros((pad, b.shape[1]), b.dtype)], axis=0
+            )
+        return b.astype(jnp.float32), squeeze
 
-        # forward: y_j = L_jj⁻¹ (b_j − Σ_{k<j} L[j,k] y_k)
+    def _forward(self, b: Array, precision) -> list:
+        """y = L⁻¹ b, right-looking: ONE shrinking GEMM per panel (the whole
+        sub-diagonal panel hits the remaining RHS at once) instead of
+        P²/2 block-by-block updates."""
+        B = self.block
         ys = []
-        for j in range(P):
-            s = b[j * B : (j + 1) * B]
-            for k in range(j):
-                Ljk = self.panels[k][(j - k) * B : (j - k + 1) * B]
-                s = s - _dot(Ljk, ys[k], precision)
-            ys.append(_dot(self.linvs[j], s, precision))
-        # backward: x_j = L_jj⁻ᵀ (y_j − Σ_{k>j} L[k,j]ᵀ x_k)
+        rest = b
+        for k, p in enumerate(self.panels):
+            yk = _dot(self.linvs[k], rest[:B], precision)
+            ys.append(yk)
+            if p.shape[0] > B:
+                rest = rest[B:] - _dot(p[B:], yk, precision)
+        return ys
+
+    def solve(self, b: Array, precision=_HIGHEST) -> Array:
+        """(L Lᵀ)⁻¹ b by blocked substitution — GEMMs against the retained
+        diag-block inverses instead of triangular-solve custom calls.
+        2P GEMMs total (one per panel per sweep)."""
+        B = self.block
+        P = len(self.panels)
+        b, squeeze = self._pad_rhs(b)
+        ys = self._forward(b, precision)
+        # backward: x_j = L_jj⁻ᵀ (y_j − panels[j][B:]ᵀ · x_below)
+        nrhs = b.shape[1]
+        below = jnp.zeros((0, nrhs), jnp.float32)
         xs: list = [None] * P
         for j in reversed(range(P)):
             s = ys[j]
-            for k in range(j + 1, P):
-                Lkj = self.panels[j][(k - j) * B : (k - j + 1) * B]
-                s = s - _dot(Lkj.T, xs[k], precision)
+            if below.shape[0]:
+                s = s - _dot(self.panels[j][B:].T, below, precision)
             xs[j] = _dot(self.linvs[j].T, s, precision)
-        x = jnp.concatenate(xs, axis=0)[: self.n]
+            below = jnp.concatenate([xs[j], below], axis=0)
+        x = below[: self.n]
         return x[:, 0] if squeeze else x
 
     def solve_lower(self, b: Array, precision=_HIGHEST) -> Array:
         """L⁻¹ b (forward substitution only) — e.g. for whitening k*."""
-        B = self.block
-        P = len(self.panels)
-        squeeze = b.ndim == 1
-        if squeeze:
-            b = b[:, None]
-        nrhs = b.shape[1]
-        pad = self.padded_n - b.shape[0]
-        if pad:
-            b = jnp.concatenate([b, jnp.zeros((pad, nrhs), b.dtype)], axis=0)
-        b = b.astype(jnp.float32)
-        ys = []
-        for j in range(P):
-            s = b[j * B : (j + 1) * B]
-            for k in range(j):
-                Ljk = self.panels[k][(j - k) * B : (j - k + 1) * B]
-                s = s - _dot(Ljk, ys[k], precision)
-            ys.append(_dot(self.linvs[j], s, precision))
-        y = jnp.concatenate(ys, axis=0)[: self.n]
+        b, squeeze = self._pad_rhs(b)
+        y = jnp.concatenate(self._forward(b, precision), axis=0)[: self.n]
         return y[:, 0] if squeeze else y
 
 
@@ -378,25 +375,27 @@ def rbf_gram_panels(
     values underflow to 0; their diagonal is amp+noise (a positive block
     the factorization consumes and :meth:`BlockedCholesky.solve` ignores).
     """
-    n = X.shape[0]
+    n, D = X.shape
     Np = -(-n // block) * block
     ls = jnp.atleast_1d(jnp.asarray(lengthscale)).astype(jnp.float32)
     Z = (X / ls).astype(jnp.float32)
     if Np > n:
         far = 1e6 * (1.0 + jnp.arange(Np - n, dtype=jnp.float32))[:, None]
-        Z = jnp.concatenate([Z, jnp.broadcast_to(far, (Np - n, Z.shape[1]))], 0)
-    sq = jnp.sum(Z * Z, axis=1)
+        Z = jnp.concatenate([Z, jnp.broadcast_to(far, (Np - n, D))], 0)
     amp = jnp.asarray(amplitude, jnp.float32)
     noise = jnp.asarray(noise, jnp.float32)
     panels = []
     for k in range(Np // block):
-        rows = Z[k * block :]
-        cols = Z[k * block : (k + 1) * block]
-        cross = _dot(rows, cols.T, precision)
-        d2 = jnp.maximum(
-            sq[k * block :, None] + sq[None, k * block : (k + 1) * block] - 2 * cross,
-            0.0,
-        )
+        rows = Z[k * block :]  # (M_k, D)
+        cols = Z[k * block : (k + 1) * block]  # (B, D)
+        # d² as per-dimension broadcast differences, unrolled over the small
+        # D: one fused VPU pass writing (M_k, B) — the matmul formulation
+        # (rows @ cols.T with K=D≈3) wastes the MXU on a padded-to-128
+        # contraction and was measured 10 ms of the whole 19 ms pipeline.
+        d2 = jnp.zeros((rows.shape[0], block), jnp.float32)
+        for dim in range(D):
+            diff = rows[:, dim, None] - cols[None, :, dim]
+            d2 = d2 + diff * diff
         p = amp * jnp.exp(-0.5 * d2)
         ridx = jnp.arange(p.shape[0])[:, None]
         cidx = jnp.arange(block)[None, :]

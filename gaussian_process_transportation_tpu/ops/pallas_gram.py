@@ -54,11 +54,13 @@ def _mean_kernel(xq_ref, x_ref, alpha_ref, amp_ref, mean_ref):
 
     xq = xq_ref[:]
     x = x_ref[:]
-    xx = jnp.sum(xq * xq, axis=1)[:, None]
-    zz = jnp.sum(x * x, axis=1)[None, :]
-    cross = jnp.dot(xq, x.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    d2 = jnp.maximum(xx + zz - 2.0 * cross, 0.0)
+    # d² by unrolled per-dimension differences — pure VPU, exact, and no
+    # padded-to-128 MXU contraction over the tiny D (see kernels._sqdist)
+    D = xq.shape[1]
+    d2 = jnp.zeros((xq.shape[0], x.shape[0]), jnp.float32)
+    for d in range(D):
+        diff = xq[:, d, None] - x[None, :, d]
+        d2 = d2 + diff * diff
     k = amp_ref[0, 0] * jnp.exp(-0.5 * d2)  # (TM, TK)
     mean_ref[:] += jnp.dot(k, alpha_ref[:], preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
@@ -136,13 +138,11 @@ def rbf_gram(
     def kernel(x_ref, z_ref, amp_ref, out_ref):
         x = x_ref[:]
         z = z_ref[:]
-        xx = jnp.sum(x * x, 1)[:, None]
-        zz = jnp.sum(z * z, 1)[None, :]
-        cross = jnp.dot(x, z.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        out_ref[:] = amp_ref[0, 0] * jnp.exp(
-            -0.5 * jnp.maximum(xx + zz - 2 * cross, 0.0)
-        )
+        d2 = jnp.zeros((x.shape[0], z.shape[0]), jnp.float32)
+        for d in range(x.shape[1]):
+            diff = x[:, d, None] - z[None, :, d]
+            d2 = d2 + diff * diff
+        out_ref[:] = amp_ref[0, 0] * jnp.exp(-0.5 * d2)
 
     out = pl.pallas_call(
         kernel,

@@ -26,7 +26,7 @@ from ..kernels import Kernel
 from ..models import exact_gp as gp_core
 from ..models import affine as affine_core
 from ..transport import gpt as gpt_mod
-from .mesh import ensemble_sharding
+from .mesh import ensemble_sharding, global_put
 
 Array = jax.Array
 
@@ -42,7 +42,7 @@ def transport_ensemble(
     """Fit+apply E independent transports as one sharded computation."""
     f = lambda tgts: gpt_mod.fit_and_transport_batched(kernel, source, tgts, traj, delta)
     if mesh is not None:
-        targets = jax.device_put(targets, ensemble_sharding(mesh))
+        targets = global_put(targets, ensemble_sharding(mesh))
         out_sharding = jax.tree_util.tree_map(
             lambda _: ensemble_sharding(mesh), gpt_mod.TransportResult(0, 0, 0, 0, 0)
         )
@@ -72,7 +72,7 @@ def posterior_transport_ensemble(
     pos_aligned = affine_core.predict(aff, traj)
     keys = jax.random.split(key, n_members)
     if mesh is not None:
-        keys = jax.device_put(keys, ensemble_sharding(mesh))
+        keys = global_put(keys, ensemble_sharding(mesh))
 
     mean, cov = gp_core.predict_cov(gp, pos_aligned)
     L = jnp.linalg.cholesky(gp_core.add_diagonal(cov, 1e-8))

@@ -40,3 +40,19 @@ def ensemble_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def global_put(x, sharding: NamedSharding):
+    """Place a host-replicated array under a (possibly multi-process)
+    sharding.
+
+    Single-process this is ``jax.device_put``.  Multi-process, every host
+    holds the full array (the framework's ensembles are built from
+    deterministic seeds/targets, so this is free) and contributes its
+    addressable shards via ``make_array_from_callback`` — the standard
+    way to form a global jax.Array without cross-host data movement.
+    """
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+    return jax.device_put(x, sharding)

@@ -413,8 +413,9 @@ def sample_gp_posterior(
     chain_keys = jax.random.split(k_run, num_chains)
     if mesh is not None:
         sh = NamedSharding(mesh, P("ens"))
-        inits = jax.device_put(inits, sh)
-        chain_keys = jax.device_put(chain_keys, sh)
+        from .mesh import global_put
+        inits = global_put(inits, sh)
+        chain_keys = global_put(chain_keys, sh)
 
     sampler = hmc if algorithm == "hmc" else nuts
     run = jax.jit(

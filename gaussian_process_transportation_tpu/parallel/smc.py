@@ -50,7 +50,8 @@ def init_particles(
     L = jnp.linalg.cholesky(gp_core.add_diagonal(cov, 1e-8))
     keys = jax.random.split(key, n_particles)
     if mesh is not None:
-        keys = jax.device_put(keys, ensemble_sharding(mesh))
+        from .mesh import global_put
+        keys = global_put(keys, ensemble_sharding(mesh))
 
     @jax.jit
     def draw(k):

@@ -36,16 +36,17 @@ Y = rng.standard_normal((N, 3)).astype(np.float32)
 ls = np.array([1.0, 1.0, 1.0], np.float32)
 amp, noise = 2.0, 0.1
 
-# f64 golden on CPU
-t0 = time.perf_counter()
-cpu = jax.devices("cpu")[0]
-X64 = X.astype(np.float64)
-sq = (X64 * X64).sum(1)
-D2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X64 @ X64.T), 0.0)
-K64 = amp * np.exp(-0.5 * D2) + noise * np.eye(N)
-a64 = np.linalg.solve(K64, Y.astype(np.float64))
-print(f"golden f64 solve: {time.perf_counter()-t0:.1f}s", flush=True)
-del D2, K64
+# f64 golden on CPU (skippable: SKIP_GOLDEN=1 for timing-only runs)
+a64 = None
+if not int(os.environ.get("SKIP_GOLDEN", "0")):
+    t0 = time.perf_counter()
+    X64 = X.astype(np.float64)
+    sq = (X64 * X64).sum(1)
+    D2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X64 @ X64.T), 0.0)
+    K64 = amp * np.exp(-0.5 * D2) + noise * np.eye(N)
+    a64 = np.linalg.solve(K64, Y.astype(np.float64))
+    print(f"golden f64 solve: {time.perf_counter()-t0:.1f}s", flush=True)
+    del D2, K64
 
 Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
 lsd = jnp.asarray(ls)
@@ -56,21 +57,32 @@ fused = jax.jit(lambda Xs, Ys: gram_cholesky_solve(
 t0 = time.perf_counter()
 alpha = np.asarray(fused(Xd, Yd))
 print(f"ours compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-err = np.abs(alpha - a64).max() / np.abs(a64).max()
-print(f"ours alpha rel err vs f64: {err:.2e}", flush=True)
+if a64 is not None:
+    err = np.abs(alpha - a64).max() / np.abs(a64).max()
+    print(f"ours alpha rel err vs f64: {err:.2e}", flush=True)
 
 flops = 2 * N * N * 3 + N**3 / 3 + 4 * N * N * 3
 
-times = []
-for _ in range(ITERS):
-    t0 = time.perf_counter()
-    out = np.asarray(fused(Xd, Yd)[0, 0])
-    times.append(time.perf_counter() - t0)
-dt = float(np.median(times))
-print(f"ours: {dt*1e3:.1f} ms median (all: {[f'{t*1e3:.0f}' for t in times]}) "
+def timed(fn, reps=3):
+    """Queue ITERS async dispatches, sync once with a host transfer (the
+    tunnel adds ~30 ms per sync; amortize it over the batch)."""
+    best = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn()
+        np.asarray(out)[..., 0]
+        best.append((time.perf_counter() - t0) / ITERS)
+    return float(np.median(best)), best
+
+
+dt, allt = timed(lambda: fused(Xd, Yd)[0])
+print(f"ours: {dt*1e3:.1f} ms/iter median of {[f'{t*1e3:.0f}' for t in allt]} "
       f"-> {flops/dt/1e12:.2f} TFLOP/s", flush=True)
 
-# builtin comparison
+# builtin comparison (skippable: SKIP_BUILTIN=1)
+if int(os.environ.get("SKIP_BUILTIN", "0")):
+    sys.exit(0)
 kern_amp, kern_noise = amp, noise
 
 
@@ -86,12 +98,11 @@ def builtin(Xs, Ys):
 t0 = time.perf_counter()
 ab = np.asarray(builtin(Xd, Yd))
 print(f"builtin compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-print(f"builtin alpha rel err vs f64: {np.abs(ab - a64).max()/np.abs(a64).max():.2e}",
+if a64 is not None:
+    print(f"builtin alpha rel err vs f64: {np.abs(ab - a64).max()/np.abs(a64).max():.2e}",
+          flush=True)
+print(f"ours vs builtin alpha rel diff: {np.abs(alpha - ab).max()/np.abs(ab).max():.2e}",
       flush=True)
-times = []
-for _ in range(ITERS):
-    t0 = time.perf_counter()
-    out = np.asarray(builtin(Xd, Yd)[0, 0])
-    times.append(time.perf_counter() - t0)
-dt = float(np.median(times))
-print(f"builtin: {dt*1e3:.1f} ms median -> {flops/dt/1e12:.2f} TFLOP/s", flush=True)
+dt, allt = timed(lambda: builtin(Xd, Yd)[0])
+print(f"builtin: {dt*1e3:.1f} ms/iter median of {[f'{t*1e3:.0f}' for t in allt]} "
+      f"-> {flops/dt/1e12:.2f} TFLOP/s", flush=True)
