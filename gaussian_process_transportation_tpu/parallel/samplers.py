@@ -68,17 +68,8 @@ def _dual_averaging_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0, 
     return dict(log_step=log_step, log_step_avg=log_step_avg, h_avg=h_avg, mu=state["mu"], t=t)
 
 
-def hmc(
-    logprob_fn: Callable[[Array], Array],
-    init_position: Array,
-    key: Array,
-    num_warmup: int = 500,
-    num_samples: int = 500,
-    num_leapfrog: int = 16,
-    initial_step_size: float = 0.1,
-    target_accept: float = 0.8,
-) -> Tuple[Array, dict]:
-    """Single-chain HMC; returns (samples (num_samples, D), info)."""
+def _make_kernel(logprob_fn, num_leapfrog):
+    """(safe value-and-grad, one Metropolis-adjusted leapfrog step)."""
     lp_and_grad = jax.value_and_grad(logprob_fn)
 
     def safe_lp_and_grad(q):
@@ -88,10 +79,8 @@ def hmc(
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         return lp, g
 
-    lp0, g0 = safe_lp_and_grad(init_position)
-    D = init_position.shape[0]
-
     def one_step(state, key, step_size, inv_mass):
+        D = state.position.shape[0]
         k_mom, k_acc = jax.random.split(key)
         p0 = jax.random.normal(k_mom, (D,)) / jnp.sqrt(inv_mass)
         q, p, g, lp = _leapfrog(
@@ -109,7 +98,26 @@ def hmc(
         )
         return new_state, accept_prob
 
-    # ---- warmup: dual averaging + Welford variance for diagonal mass ----
+    return safe_lp_and_grad, one_step
+
+
+def hmc_warmup(
+    logprob_fn: Callable[[Array], Array],
+    init_position: Array,
+    key: Array,
+    num_warmup: int = 500,
+    num_leapfrog: int = 16,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> Tuple[HMCState, Array, Array]:
+    """Adaptation phase only: dual-averaging step size + Welford diagonal
+    mass.  Returns (state, step_size, inv_mass) — exactly the state
+    :func:`hmc` holds when sampling starts, so checkpointed runs
+    (``parallel.checkpointed``) resume bit-identically."""
+    safe_lp_and_grad, one_step = _make_kernel(logprob_fn, num_leapfrog)
+    lp0, g0 = safe_lp_and_grad(init_position)
+    D = init_position.shape[0]
+
     def warmup_step(carry, key):
         state, da, mean, m2, count, inv_mass = carry
         step_size = jnp.exp(da["log_step"])
@@ -139,14 +147,54 @@ def hmc(
     carry, _ = jax.lax.scan(warmup_step, carry, keys_w2)
     state, da, _, _, _, inv_mass = carry
     step_size = jnp.exp(da["log_step_avg"])
+    return state, step_size, inv_mass
 
-    # ---- sampling ----
+
+def hmc_sample_range(
+    logprob_fn: Callable[[Array], Array],
+    state: HMCState,
+    key: Array,
+    num_samples_total: int,
+    start: int,
+    stop: int,
+    step_size: Array,
+    inv_mass: Array,
+    num_leapfrog: int = 16,
+) -> Tuple[HMCState, Array, Array]:
+    """Draw samples [start, stop) of the SAME stream :func:`hmc` produces
+    with ``num_samples=num_samples_total`` — per-step keys are sliced from
+    the one precomputed key array, so segmented runs are bit-identical to
+    monolithic ones.  Returns (state, samples, accept_probs)."""
+    _, one_step = _make_kernel(logprob_fn, num_leapfrog)
+
     def sample_step(state, key):
         state, accept_prob = one_step(state, key, step_size, inv_mass)
         return state, (state.position, accept_prob)
 
-    keys_s = jax.random.split(jax.random.fold_in(key, 2), num_samples)
+    keys_s = jax.random.split(jax.random.fold_in(key, 2), num_samples_total)[start:stop]
     state, (samples, accept_probs) = jax.lax.scan(sample_step, state, keys_s)
+    return state, samples, accept_probs
+
+
+def hmc(
+    logprob_fn: Callable[[Array], Array],
+    init_position: Array,
+    key: Array,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    num_leapfrog: int = 16,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> Tuple[Array, dict]:
+    """Single-chain HMC; returns (samples (num_samples, D), info)."""
+    state, step_size, inv_mass = hmc_warmup(
+        logprob_fn, init_position, key, num_warmup, num_leapfrog,
+        initial_step_size, target_accept,
+    )
+    state, samples, accept_probs = hmc_sample_range(
+        logprob_fn, state, key, num_samples, 0, num_samples,
+        step_size, inv_mass, num_leapfrog,
+    )
     info = dict(
         step_size=step_size,
         inv_mass=inv_mass,

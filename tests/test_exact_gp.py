@@ -169,6 +169,7 @@ def test_fit_reaches_sklearn_quality():
     np.testing.assert_allclose(np.asarray(mean), mean_sk, atol=2e-3 * scale + 1e-4)
 
 
+@pytest.mark.slow
 def test_fit_jit_reaches_sklearn_quality():
     mine, sk = make_pair()
     gpr = GaussianProcessRegressor(
@@ -212,6 +213,7 @@ def test_vmapped_conditioning():
     np.testing.assert_allclose(np.asarray(means[3]), np.asarray(single), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_lml_small_analytic_gradient_matches_ad():
     """The small-N LML (custom VJP, ensemble-last Cholesky under vmap) must
     match the plain Cholesky+autodiff path in value and in gradients w.r.t.

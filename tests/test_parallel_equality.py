@@ -4,6 +4,7 @@ shape-preserving)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussian_process_transportation_tpu import kernels as K
 from gaussian_process_transportation_tpu.parallel import (
@@ -27,6 +28,7 @@ def _problem(E=16, n_traj=60, n_dist=20):
     return map(jnp.asarray, (X, dX, S, targets))
 
 
+@pytest.mark.slow
 def test_transport_ensemble_sharded_equals_vmap():
     X, dX, S, targets = _problem()
     kernel = K.Constant(10.0) * K.RBF(4.0 * jnp.ones(2)) + K.White(0.01)
@@ -45,6 +47,7 @@ def test_transport_ensemble_sharded_equals_vmap():
             field, np.abs(a - b).max())
 
 
+@pytest.mark.slow
 def test_ensemble_train_step_sharded_equals_unsharded():
     X, dX, S, targets = _problem()
     E = targets.shape[0]

@@ -51,6 +51,7 @@ def test_ess_reasonable():
     assert np.all(ess > 800), ess
 
 
+@pytest.mark.slow
 def test_gp_posterior_sampling_with_mesh():
     N = 25
     X = rng.randn(N, 1) * 2
@@ -82,6 +83,7 @@ def test_gp_posterior_sampling_with_mesh():
     assert float(diags["mean_accept"].mean()) > 0.5
 
 
+@pytest.mark.slow
 def test_posterior_predictive_from_chains():
     """Hyperparameter-marginalized prediction: average posteriors over θ
     samples — the capability that replaces Optuna lengthscale search."""

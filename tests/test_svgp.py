@@ -33,6 +33,7 @@ def cos_sin_model():
     return X, Y, state
 
 
+@pytest.mark.slow
 def test_svgp_posterior_accuracy(cos_sin_model):
     X, Y, state = cos_sin_model
     c = svgp.collapse(state)
@@ -97,6 +98,7 @@ def test_derivative_mean_matches_finite_difference(cos_sin_model):
     np.testing.assert_allclose(np.asarray(dmean[:, :, 0]), fd, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_elbo_increases_during_training():
     N = 200
     X = np.linspace(0, 2 * np.pi, N)[:, None]
@@ -113,6 +115,7 @@ def test_elbo_increases_during_training():
     assert e1 > e0, (e0, e1)
 
 
+@pytest.mark.slow
 def test_wrapper_interface():
     N = 150
     X = rng.randn(N, 2)
@@ -150,6 +153,7 @@ def test_natgrad_converges_faster_per_pass():
     assert np.isfinite(np.asarray(std)).all()
 
 
+@pytest.mark.slow
 def test_natgrad_collapsed_posterior_matches_adam_converged():
     """VERDICT r1 item 8: on a converged run the two optimizers must agree —
     the natural-gradient path's collapsed posterior is the same posterior,
