@@ -211,8 +211,13 @@ def bench_cholesky(n=10240, block=512, iters=15):
     return flops / dt / 1e12
 
 
-def bench_hmc(num_chains=256, num_warmup=64, num_samples=64, n_data=30):
-    """HMC hyperposterior sampling throughput (samples/s/chip)."""
+def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
+    """HMC hyperposterior sampling throughput (samples/s/chip).
+
+    n_data=20 matches the transport-GP hyperposterior workload (the
+    reference's 20-point distributions) and keeps the unrolled small-N
+    LML inside the leapfrog small — the TPU compile of this program is
+    the dominant cost (tens of minutes at n_data=30 over the tunnel)."""
     import jax
     import jax.numpy as jnp
     from gaussian_process_transportation_tpu import kernels as K
@@ -281,7 +286,10 @@ def main():
     else:
         log("cholesky diagnostic skipped: bench budget")
 
-    if time.perf_counter() - t_start < budget - 120:
+    # The HMC program's TPU compile is minutes-scale on a cold cache —
+    # only attempt it with generous headroom (the persistent cache makes
+    # warm runs cheap).
+    if time.perf_counter() - t_start < budget - 300:
         try:
             extras["hmc_samples_per_s"] = round(bench_hmc(), 1)
         except Exception as e:

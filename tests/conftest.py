@@ -19,8 +19,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# GPT_TPU_TESTS=1 leaves the default (TPU) backend in place so the
+# tpu-marked hardware goldens run:  GPT_TPU_TESTS=1 pytest -m tpu
+if not os.environ.get("GPT_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -55,3 +55,34 @@ def test_fused_predict_mean_agrees_with_exact_gp():
         )
     )
     np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+@pytest.mark.tpu
+def test_fused_predict_routes_and_matches_on_tpu():
+    """Real-hardware golden for the production fused-predict routing
+    (exact_gp.predict → ops.pallas_gram.fused_gp_predict_mean on TPU at
+    Nq·N ≥ 2²¹): the 100×100-grid workload (plot_utils.py:181-207) at
+    N=2048 must agree with the XLA path to f32 accuracy."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU")
+    import numpy as onp
+
+    from gaussian_process_transportation_tpu import kernels as K
+    from gaussian_process_transportation_tpu.models import exact_gp as core
+
+    rng2 = onp.random.RandomState(0)
+    N, Nq = 2048, 10240
+    X = jnp.asarray(rng2.randn(N, 2).astype(onp.float32))
+    Y = jnp.asarray(onp.sin(onp.asarray(X)[:, :1]).astype(onp.float32))
+    Xq = jnp.asarray(rng2.randn(Nq, 2).astype(onp.float32))
+    kern = K.Constant(2.0) * K.RBF(jnp.ones(2, jnp.float32)) + K.White(0.01)
+
+    gp = core.condition(kern, X, Y, jitter=1e-6)
+    assert core._use_fused_predict(gp, Xq)  # heuristic must fire here
+    mean_fused = core.predict(gp, Xq)
+
+    k_star = kern(Xq, X)
+    mean_xla = jnp.dot(k_star, gp.alpha, precision=jax.lax.Precision.HIGHEST)
+    err = float(jnp.max(jnp.abs(mean_fused - mean_xla)))
+    scale = float(jnp.max(jnp.abs(mean_xla)))
+    assert err < 1e-4 * max(scale, 1.0), (err, scale)
