@@ -40,10 +40,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _mean_kernel(xq_ref, x_ref, alpha_ref, amp_ref, mean_ref):
+def _mean_kernel(xq_ref, xT_ref, alpha_ref, amp_ref, mean_ref):
     """Grid step (i, j): query tile i × training chunk j.
 
-    xq_ref: (TM, D) scaled queries; x_ref: (TK, D) scaled training points;
+    xq_ref: (TM, D) scaled queries; xT_ref: (D, TK) scaled training points
+    TRANSPOSED (so the per-dimension row read is a static sublane slice —
+    Mosaic cannot lower the gather that `x[None, :, d]` indexing builds);
     alpha_ref: (TK, P); amp_ref: (1, 1) SMEM; mean_ref: (TM, P) accumulator.
     """
     j = pl.program_id(1)
@@ -52,14 +54,12 @@ def _mean_kernel(xq_ref, x_ref, alpha_ref, amp_ref, mean_ref):
     def _():
         mean_ref[:] = jnp.zeros_like(mean_ref)
 
-    xq = xq_ref[:]
-    x = x_ref[:]
     # d² by unrolled per-dimension differences — pure VPU, exact, and no
     # padded-to-128 MXU contraction over the tiny D (see kernels._sqdist)
-    D = xq.shape[1]
-    d2 = jnp.zeros((xq.shape[0], x.shape[0]), jnp.float32)
+    D = xq_ref.shape[1]
+    d2 = jnp.zeros((xq_ref.shape[0], xT_ref.shape[1]), jnp.float32)
     for d in range(D):
-        diff = xq[:, d, None] - x[None, :, d]
+        diff = xq_ref[:, d : d + 1] - xT_ref[d : d + 1, :]  # (TM, TK)
         d2 = d2 + diff * diff
     k = amp_ref[0, 0] * jnp.exp(-0.5 * d2)  # (TM, TK)
     mean_ref[:] += jnp.dot(k, alpha_ref[:], preferred_element_type=jnp.float32,
@@ -91,8 +91,10 @@ def fused_gp_predict_mean(
     Nq_p = _round_up(max(Nq, 8), tile_q)
     N_p = _round_up(max(N, 8), tile_k)
     Xq_pad = jnp.zeros((Nq_p, D), dtype).at[:Nq].set(Xq_s)
-    # pad training points far away so their kernel value underflows to 0
-    X_pad = jnp.full((N_p, D), 1e6, dtype).at[:N].set(X_s)
+    # pad training points far away so their kernel value underflows to 0;
+    # training points go in TRANSPOSED (D, N_p) so the kernel's
+    # per-dimension reads are static sublane slices
+    XT_pad = jnp.full((D, N_p), 1e6, dtype).at[:, :N].set(X_s.T)
     alpha_pad = jnp.zeros((N_p, P), dtype).at[:N].set(jnp.asarray(alpha, dtype))
     amp = jnp.asarray([[amplitude]], dtype)
 
@@ -102,14 +104,14 @@ def fused_gp_predict_mean(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_k, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k, P), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile_q, P), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Nq_p, P), dtype),
         interpret=interpret,
-    )(Xq_pad, X_pad, alpha_pad, amp)
+    )(Xq_pad, XT_pad, alpha_pad, amp)
     return mean[:Nq]
 
 
@@ -132,15 +134,13 @@ def rbf_gram(
     Zs = (Z / ls).astype(dtype)
     N_p, M_p = _round_up(max(N, 8), tile), _round_up(max(M, 8), tile)
     X_pad = jnp.full((N_p, D), 1e6, dtype).at[:N].set(Xs)
-    Z_pad = jnp.full((M_p, D), -1e6, dtype).at[:M].set(Zs)
+    ZT_pad = jnp.full((D, M_p), -1e6, dtype).at[:, :M].set(Zs.T)
     amp = jnp.asarray([[amplitude]], dtype)
 
-    def kernel(x_ref, z_ref, amp_ref, out_ref):
-        x = x_ref[:]
-        z = z_ref[:]
-        d2 = jnp.zeros((x.shape[0], z.shape[0]), jnp.float32)
-        for d in range(x.shape[1]):
-            diff = x[:, d, None] - z[None, :, d]
+    def kernel(x_ref, zT_ref, amp_ref, out_ref):
+        d2 = jnp.zeros((x_ref.shape[0], zT_ref.shape[1]), jnp.float32)
+        for d in range(x_ref.shape[1]):
+            diff = x_ref[:, d : d + 1] - zT_ref[d : d + 1, :]
             d2 = d2 + diff * diff
         out_ref[:] = amp_ref[0, 0] * jnp.exp(-0.5 * d2)
 
@@ -149,11 +149,11 @@ def rbf_gram(
         grid=(N_p // tile, M_p // tile),
         in_specs=[
             pl.BlockSpec((tile, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N_p, M_p), dtype),
         interpret=interpret,
-    )(X_pad, Z_pad, amp)
+    )(X_pad, ZT_pad, amp)
     return out[:N, :M]
