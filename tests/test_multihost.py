@@ -23,32 +23,46 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_distributed_matches_single_process():
+def test_two_process_distributed_matches_single_process(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "multihost_worker.py")
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    # stdout goes straight to files so a timeout still shows each worker's
+    # per-stage progress markers (PIPE would buffer until communicate())
+    logs = [tmp_path / f"worker{i}.log" for i in range(2)]
+    handles = [open(l, "w") for l in logs]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), "2", str(port)],
             cwd=root,
             env=env,
-            stdout=subprocess.PIPE,
+            stdout=h,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(2)
+        for i, h in zip(range(2), handles)
     ]
-    outs = []
+    # deadline sized for a 2-core CI box: two processes trace + compile the
+    # same programs concurrently (the persistent compile cache makes reruns
+    # far faster than the cold first run)
+    deadline = 900
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
-            outs.append(out)
+            p.communicate(timeout=deadline)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.fail("multihost workers timed out:\n" + "\n---\n".join(outs))
-    for i, (p, out) in enumerate(zip(procs, outs)):
+        for h in handles:
+            h.close()
+        pytest.fail(
+            "multihost workers timed out:\n"
+            + "\n---\n".join(l.read_text() for l in logs)
+        )
+    for h in handles:
+        h.close()
+    for i, (p, l) in enumerate(zip(procs, logs)):
+        out = l.read_text()
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MULTIHOST_OK process={i}" in out, out
