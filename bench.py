@@ -239,15 +239,19 @@ def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
     compile_s = time.perf_counter() - t0
     assert np.isfinite(first).all()
 
-    t0 = time.perf_counter()
-    samples, _ = samplers.sample_gp_posterior(
-        kernel, Xs, Ys, jax.random.PRNGKey(1),
-        num_chains=num_chains, num_warmup=num_warmup, num_samples=num_samples,
-    )
-    np.asarray(samples[0, 0])
-    dt = time.perf_counter() - t0
+    # a single ~20 s rep over the tunnel swings tens of percent — median of 3
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        samples, _ = samplers.sample_gp_posterior(
+            kernel, Xs, Ys, jax.random.PRNGKey(1 + rep),
+            num_chains=num_chains, num_warmup=num_warmup, num_samples=num_samples,
+        )
+        np.asarray(samples[0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     rate = num_chains * num_samples / dt
-    log(f"hmc: compile {compile_s:.1f}s, run {dt*1e3:.0f} ms, "
+    log(f"hmc: compile {compile_s:.1f}s, runs (ms) {[f'{t*1e3:.0f}' for t in times]}, "
         f"{num_chains} chains x {num_samples} samples -> {rate:.0f} samples/s")
     return rate
 
