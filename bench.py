@@ -135,11 +135,15 @@ def bench_reference_cpu(X, dX, S, S1, iters=5):
         return Xg + mean, vel, vvar
 
     one(0.0)  # warm numpy/BLAS
-    t0 = time.perf_counter()
+    # best-of per-iter times: the CPU reference shares cores with whatever
+    # else runs on the box, and a noisy (slow) reference would inflate
+    # vs_baseline — take its fastest observed iteration (conservative)
+    best = float("inf")
     for i in range(iters):
+        t0 = time.perf_counter()
         one(0.01 * i)
-    dt = time.perf_counter() - t0
-    return iters / dt
+        best = min(best, time.perf_counter() - t0)
+    return 1.0 / best
 
 
 def bench_ours(X, dX, S, S1, ensemble=16384, iters=5):
@@ -256,10 +260,7 @@ def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
     return rate
 
 
-def main():
-    t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "500"))
-
+def _enable_compile_cache():
     # persistent compilation cache: repeat bench runs (and the driver's
     # round-end run after our warm-up runs) skip the multi-minute tunnel
     # compiles of the big unrolled Cholesky program
@@ -271,33 +272,93 @@ def main():
     except Exception:
         pass
 
+
+def _run_stage(stage: str) -> None:
+    """Subprocess entry: run ONE device stage, print 'STAGE_RESULT <float>'."""
+    _enable_compile_cache()
+    if stage == "transport":
+        X, dX, S, S1 = make_workload()
+        val = bench_ours(X, dX, S, S1)
+    elif stage == "cholesky":
+        val = bench_cholesky()
+    elif stage == "hmc":
+        val = bench_hmc()
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+    print(f"STAGE_RESULT {val}", flush=True)
+
+
+def _stage_subprocess(stage: str, timeout_s: float):
+    """Run a device stage in a killable subprocess.
+
+    The TPU tunnel occasionally wedges a single dispatch for many minutes;
+    in-process there is no reliable way to abandon a hung RPC, and a hung
+    stage would starve everything after it AND the final JSON print.  A
+    subprocess gets its own tunnel connection and can be SIGKILLed, so one
+    wedged stage costs only its own deadline."""
+    import subprocess
+
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", stage],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired as e:
+        log(f"stage {stage}: killed after {timeout_s:.0f}s (tunnel hang?)")
+        if e.stderr:
+            log((e.stderr if isinstance(e.stderr, str) else e.stderr.decode())[-2000:])
+        return None
+    sys.stderr.write(proc.stderr)
+    for line in proc.stdout.splitlines():
+        if line.startswith("STAGE_RESULT "):
+            log(f"stage {stage}: done in {time.perf_counter()-t0:.0f}s")
+            return float(line.split()[1])
+    log(f"stage {stage}: failed (rc={proc.returncode}):\n{proc.stdout[-2000:]}")
+    return None
+
+
+def main():
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "500"))
+
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
     X, dX, S, S1 = make_workload()
 
     ref_rate = bench_reference_cpu(X, dX, S, S1)
     log(f"reference (sklearn/numpy, 1 CPU): {ref_rate:.1f} traj/s")
 
-    ours_rate = bench_ours(X, dX, S, S1)
+    # Stage order is budget-defensive: the cheap cholesky gate metric runs
+    # BEFORE the transport ensemble (whose compile+first run over the tunnel
+    # has been observed anywhere between 40 s and 275 s), and every stage is
+    # deadline-bounded so a wedged tunnel dispatch cannot starve the rest.
+    extras = {}
+    tflops = _stage_subprocess("cholesky", min(170.0, remaining() - 180.0))
+    if tflops is not None:
+        log(f"Gram+Cholesky+solve N=10240: {tflops:.2f} TFLOP/s")
+        extras["tflops_chol_n10240"] = round(tflops, 2)
+
+    # the required headline metric — give it the lion's share of the budget
+    # and one retry (a fresh subprocess = a fresh tunnel connection)
+    ours_rate = _stage_subprocess("transport", max(remaining() - 120.0, 60.0))
+    if ours_rate is None and remaining() > 90.0:
+        log("transport stage retrying on a fresh tunnel connection")
+        ours_rate = _stage_subprocess("transport", remaining() - 20.0)
+    if ours_rate is None:
+        log("FATAL: transport stage failed — no bench line")
+        raise SystemExit(1)
     log(f"ours (batched, 1 chip): {ours_rate:.1f} traj/s")
 
-    extras = {}
-    if time.perf_counter() - t_start < budget - 240:
-        try:
-            tflops = bench_cholesky()
-            log(f"Gram+Cholesky+solve N=10240: {tflops:.2f} TFLOP/s")
-            extras["tflops_chol_n10240"] = round(tflops, 2)
-        except Exception as e:  # diagnostic only — never fail the bench line
-            log(f"cholesky diagnostic skipped: {e}")
-    else:
-        log("cholesky diagnostic skipped: bench budget")
-
     # The HMC program's TPU compile is minutes-scale on a cold cache —
-    # only attempt it with generous headroom (the persistent cache makes
-    # warm runs cheap).
-    if time.perf_counter() - t_start < budget - 300:
-        try:
-            extras["hmc_samples_per_s"] = round(bench_hmc(), 1)
-        except Exception as e:
-            log(f"hmc diagnostic skipped: {e}")
+    # only attempt it with headroom (compile ~50 s warm + 3 reps ~20 s each).
+    if remaining() > 150.0:
+        hmc = _stage_subprocess("hmc", remaining() - 10.0)
+        if hmc is not None:
+            extras["hmc_samples_per_s"] = round(hmc, 1)
     else:
         log("hmc diagnostic skipped: bench budget")
 
@@ -315,4 +376,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        _run_stage(sys.argv[2])
+    else:
+        main()
