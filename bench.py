@@ -3,7 +3,8 @@
 Prints ONE JSON line:
   {"metric": "transported_trajectories_per_s_per_chip", "value": N,
    "unit": "traj/s/chip", "vs_baseline": R,
-   "tflops_chol_n10240": T, "hmc_samples_per_s": S}
+   "tflops_chol_n10240": T, "hmc_samples_per_s": S,
+   "smc_particles_per_s": P, "stages_failed": [...]}
 
 Workloads:
 * transport — the canonical 2D transport (N_traj=400, 20-point
@@ -13,14 +14,26 @@ Workloads:
   under the driver).
 * cholesky — fused Gram→blocked-Cholesky→solve at N=10240 through the
   Pallas-panel path (ops/blocked_chol.py) — the BASELINE.json
-  "batched GP Cholesky+solve TFLOP/s at N=10k" metric.
+  "batched GP Cholesky+solve TFLOP/s at N=10k" metric.  Its stderr also
+  reports the on-chip matmul rooflines at HIGHEST (6-pass f32) and HIGH
+  (3-pass bf16x3) precision and the achieved fraction of BOTH.
 * hmc — 256 HMC chains over GP kernel hyperposteriors (BASELINE scaling
   gate: measured samples/s at 1 chip).
+* smc — SMC particle-ensemble reweight+resample throughput at E=8192
+  (BASELINE scaling gate: ≥10k-member transported-policy ensembles as
+  SMC-style particles).
 
 ``vs_baseline`` is the measured speedup over the reference *algorithm*
 (sklearn GPR + numpy Kabsch pipeline with fixed hyperparameters — the same
 math our pipeline runs) executing the same transports one-by-one on CPU,
 i.e. ours(traj/s) / reference(traj/s).
+
+Outage resilience (the round-2 lesson: the driver's run lost two of three
+metrics to a tunnel stall): every device stage runs in its own killable
+subprocess with an adaptive deadline, every stage gets a fresh-connection
+retry, failed stages are listed in ``stages_failed`` so the artifact is
+self-diagnosing, and ``python bench.py --warmup`` pre-populates the
+persistent compile cache outside any timed budget.
 
 Timing discipline (CLAUDE.md): ``block_until_ready`` does NOT synchronize
 over the axon TPU tunnel, and pulling outputs to host moves hundreds of MB
@@ -179,12 +192,29 @@ def bench_ours(X, dX, S, S1, ensemble=16384, iters=5):
     return ensemble / dt
 
 
+def _matmul_roofline(precision, m=8192, iters=10):
+    """Achievable TFLOP/s of one big square matmul at the given precision —
+    the honest denominator for utilization claims."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((m, m), jnp.float32) * 1e-3
+    f = jax.jit(lambda x: jnp.dot(x, x, precision=precision))
+    np.asarray(f(a)[0, 0])  # compile + warm
+    dt, _ = _timed_median(lambda: f(a), lambda out: np.asarray(out[0, 0]), iters, reps=2)
+    return 2 * m**3 / dt / 1e12
+
+
 def bench_cholesky(n=10240, block=512, iters=15):
     """Fused Gram→blocked-Cholesky→solve TFLOP/s at N=10240 (the second
     BASELINE metric).  Runs the Pallas-panel path (ops/blocked_chol.py)
     with HIGH (bf16x3) MXU passes for the TRSM/SYRK GEMMs — golden-checked
     against f64 in tests/test_blocked_chol.py and scripts/bench_blocked_chol.py
-    (rel err ~5e-4, same as a pure-f32 pipeline)."""
+    (rel err ~5e-4, same as a pure-f32 pipeline).
+
+    stderr additionally reports the measured matmul rooflines at HIGHEST
+    and HIGH precision and the achieved fraction of both (round-2 review:
+    quoting only the f32-HIGHEST denominator flatters a bf16x3 pipeline)."""
     import jax
     import jax.numpy as jnp
     from gaussian_process_transportation_tpu.ops.blocked_chol import gram_cholesky_solve
@@ -212,7 +242,66 @@ def bench_cholesky(n=10240, block=512, iters=15):
     )
     log(f"cholesky per-iter times (ms): {[f'{t*1e3:.0f}' for t in times]}")
     flops = 2 * n * n * 3 + n**3 / 3 + 4 * n * n * 3
-    return flops / dt / 1e12
+    tflops = flops / dt / 1e12
+
+    # honest roofline pair (cheap: two 8192² matmuls)
+    try:
+        import jax
+
+        r_highest = _matmul_roofline(jax.lax.Precision.HIGHEST)
+        r_high = _matmul_roofline(jax.lax.Precision.HIGH)
+        log(
+            f"rooflines: HIGHEST(f32 6-pass)={r_highest:.1f} TFLOP/s, "
+            f"HIGH(bf16x3)={r_high:.1f} TFLOP/s; achieved {tflops:.1f} = "
+            f"{100*tflops/r_highest:.0f}% of HIGHEST, {100*tflops/r_high:.0f}% of HIGH"
+        )
+    except Exception as e:  # roofline is diagnostic only
+        log(f"roofline measurement failed: {e}")
+    return tflops
+
+
+def bench_smc(n_particles=8192, n_steps=16, n_traj=100):
+    """SMC particle-ensemble throughput (particles·steps/s) at E=8192.
+
+    One jitted ``lax.scan`` over reweight → conditional systematic
+    resample steps on (E, N, D) transported-trajectory particles — the
+    BASELINE scaling-gate workload (≥10k-member transported-policy
+    ensembles with collective resampling)."""
+    import jax
+    import jax.numpy as jnp
+    from gaussian_process_transportation_tpu.parallel import smc
+
+    rng = np.random.default_rng(0)
+    trajs = jnp.asarray(rng.standard_normal((n_particles, n_traj, 2)).astype(np.float32))
+    particles = smc.ParticleEnsemble(
+        trajectories=trajs,
+        log_weights=jnp.zeros(n_particles, jnp.float32) - np.log(n_particles),
+    )
+    ll_fn = smc.goal_likelihood(jnp.asarray([1.0, 1.0], jnp.float32), scale=2.0)
+
+    @jax.jit
+    def run(p0, key):
+        def step(p, k):
+            p, ess = smc.smc_step(p, ll_fn, k)
+            return p, ess
+
+        keys = jax.random.split(key, n_steps)
+        p, esss = jax.lax.scan(step, p0, keys)
+        return p, esss
+
+    t0 = time.perf_counter()
+    p, esss = run(particles, jax.random.PRNGKey(0))
+    first = np.asarray(p.trajectories[0, 0, 0])
+    log(f"smc compile+first: {time.perf_counter()-t0:.1f}s")
+    assert np.isfinite(first), "smc produced non-finite output"
+
+    dt, times = _timed_median(
+        lambda: run(particles, jax.random.PRNGKey(1)),
+        lambda out: np.asarray(out[0].trajectories[0, 0, 0]),
+        iters=3,
+    )
+    log(f"smc per-iter times (ms): {[f'{t*1e3:.0f}' for t in times]}")
+    return n_particles * n_steps / dt
 
 
 def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
@@ -283,6 +372,8 @@ def _run_stage(stage: str) -> None:
         val = bench_cholesky()
     elif stage == "hmc":
         val = bench_hmc()
+    elif stage == "smc":
+        val = bench_smc()
     else:
         raise SystemExit(f"unknown stage {stage}")
     print(f"STAGE_RESULT {val}", flush=True)
@@ -320,6 +411,39 @@ def _stage_subprocess(stage: str, timeout_s: float):
     return None
 
 
+def _stage_with_retry(stage: str, deadline_fn, attempts: int = 2, min_deadline: float = 40.0):
+    """Run a stage subprocess with up to ``attempts`` tries.
+
+    ``deadline_fn(attempt)`` returns the per-attempt deadline in seconds;
+    attempts whose deadline falls below ``min_deadline`` are skipped (not
+    worth a tunnel connection).  Each retry is a FRESH subprocess = a fresh
+    tunnel connection — the round-2 driver run showed the tunnel healthy
+    3 minutes after a stage kill, so one retry is usually enough."""
+    for attempt in range(attempts):
+        deadline = float(deadline_fn(attempt))
+        if deadline < min_deadline:
+            log(f"stage {stage}: skipping attempt {attempt+1} (budget: {deadline:.0f}s left)")
+            return None
+        if attempt:
+            log(f"stage {stage}: retrying on a fresh tunnel connection "
+                f"({deadline:.0f}s deadline)")
+        val = _stage_subprocess(stage, deadline)
+        if val is not None:
+            return val
+    return None
+
+
+def warmup():
+    """Populate the persistent compile cache for every stage, outside any
+    timed budget (VERDICT r2 item 1a).  Run this before the driver's timed
+    bench: the driver's run then hits warm caches only."""
+    for stage in ("cholesky", "transport", "hmc", "smc"):
+        t0 = time.perf_counter()
+        val = _stage_subprocess(stage, 1200.0)
+        log(f"warmup {stage}: {'ok' if val is not None else 'FAILED'} "
+            f"({time.perf_counter()-t0:.0f}s, result={val})")
+
+
 def main():
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "500"))
@@ -335,32 +459,75 @@ def main():
     # Stage order is budget-defensive: the cheap cholesky gate metric runs
     # BEFORE the transport ensemble (whose compile+first run over the tunnel
     # has been observed anywhere between 40 s and 275 s), and every stage is
-    # deadline-bounded so a wedged tunnel dispatch cannot starve the rest.
+    # deadline-bounded + retried so a wedged tunnel dispatch cannot starve
+    # the rest.  Warm-cache stage costs: cholesky ~40s, transport ~60s,
+    # hmc ~150s, smc ~40s.
     extras = {}
-    tflops = _stage_subprocess("cholesky", min(170.0, remaining() - 180.0))
+    failed = []
+
+    tflops = _stage_with_retry(
+        "cholesky",
+        # always leave ≥290s for transport(+retry); cap a single attempt at
+        # 170s so a wedged tunnel costs at most that
+        lambda a: min(170.0, remaining() - 290.0),
+    )
     if tflops is not None:
         log(f"Gram+Cholesky+solve N=10240: {tflops:.2f} TFLOP/s")
         extras["tflops_chol_n10240"] = round(tflops, 2)
 
-    # the required headline metric — give it the lion's share of the budget
-    # and one retry (a fresh subprocess = a fresh tunnel connection)
-    ours_rate = _stage_subprocess("transport", max(remaining() - 120.0, 60.0))
-    if ours_rate is None and remaining() > 90.0:
-        log("transport stage retrying on a fresh tunnel connection")
-        ours_rate = _stage_subprocess("transport", remaining() - 20.0)
+    # the required headline metric — the lion's share of the budget
+    ours_rate = _stage_with_retry(
+        "transport",
+        lambda a: max(remaining() - 140.0, 60.0) if a == 0 else remaining() - 20.0,
+        min_deadline=30.0,
+    )
     if ours_rate is None:
         log("FATAL: transport stage failed — no bench line")
+        print(
+            json.dumps(
+                {
+                    "metric": "transported_trajectories_per_s_per_chip",
+                    "value": None,
+                    "unit": "traj/s/chip",
+                    "stages_failed": ["transport"] + (["cholesky"] if tflops is None else []),
+                }
+            )
+        )
         raise SystemExit(1)
     log(f"ours (batched, 1 chip): {ours_rate:.1f} traj/s")
 
+    # second chance for the gate metric now that the tunnel is demonstrably
+    # healthy (the r2 driver run: cholesky died at t=0, transport compiled
+    # fine 3 minutes later)
+    if tflops is None:
+        tflops = _stage_with_retry("cholesky", lambda a: min(150.0, remaining() - 60.0),
+                                   attempts=1)
+        if tflops is not None:
+            log(f"Gram+Cholesky+solve N=10240: {tflops:.2f} TFLOP/s")
+            extras["tflops_chol_n10240"] = round(tflops, 2)
+    if tflops is None:
+        failed.append("cholesky")
+
     # The HMC program's TPU compile is minutes-scale on a cold cache —
-    # only attempt it with headroom (compile ~50 s warm + 3 reps ~20 s each).
-    if remaining() > 150.0:
-        hmc = _stage_subprocess("hmc", remaining() - 10.0)
-        if hmc is not None:
-            extras["hmc_samples_per_s"] = round(hmc, 1)
+    # attempt with whatever headroom remains (warm: ~70s compile + 3 reps).
+    hmc = _stage_with_retry(
+        "hmc",
+        lambda a: remaining() - (60.0 if a == 0 else 10.0),
+        min_deadline=80.0,
+    )
+    if hmc is not None:
+        extras["hmc_samples_per_s"] = round(hmc, 1)
     else:
-        log("hmc diagnostic skipped: bench budget")
+        failed.append("hmc")
+
+    smc = _stage_with_retry("smc", lambda a: remaining() - 5.0, attempts=1)
+    if smc is not None:
+        extras["smc_particles_per_s"] = round(smc, 1)
+    else:
+        failed.append("smc")
+
+    if failed:
+        extras["stages_failed"] = failed
 
     print(
         json.dumps(
@@ -378,5 +545,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
         _run_stage(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--warmup":
+        warmup()
     else:
         main()
