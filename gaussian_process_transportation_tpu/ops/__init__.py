@@ -14,6 +14,8 @@ from .blocked_chol import (
     factor_panel,
     gram_cholesky_solve,
     rbf_gram_panels,
+    stationary_from_sqdist,
+    stationary_gram_panels,
 )
 
 # Experimental XLA-level mixed-precision variants (lose to the Pallas path
@@ -37,6 +39,8 @@ __all__ = [
     "factor_panel",
     "gram_cholesky_solve",
     "rbf_gram_panels",
+    "stationary_from_sqdist",
+    "stationary_gram_panels",
     "blocked_cholesky_mixed",
     "ir_solve",
     "pcg_solve",

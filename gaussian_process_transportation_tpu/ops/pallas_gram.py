@@ -40,14 +40,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _mean_kernel(xq_ref, xT_ref, alpha_ref, amp_ref, mean_ref):
+def _mean_kernel(xq_ref, xT_ref, alpha_ref, amp_ref, mean_ref, *, family: str):
     """Grid step (i, j): query tile i × training chunk j.
 
     xq_ref: (TM, D) scaled queries; xT_ref: (D, TK) scaled training points
     TRANSPOSED (so the per-dimension row read is a static sublane slice —
     Mosaic cannot lower the gather that `x[None, :, d]` indexing builds);
     alpha_ref: (TK, P); amp_ref: (1, 1) SMEM; mean_ref: (TM, P) accumulator.
+    ``family`` selects the stationary covariance (RBF / Matern) — pure
+    elementwise VPU math, identical tiling.
     """
+    from .blocked_chol import stationary_from_sqdist
+
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -61,7 +65,7 @@ def _mean_kernel(xq_ref, xT_ref, alpha_ref, amp_ref, mean_ref):
     for d in range(D):
         diff = xq_ref[:, d : d + 1] - xT_ref[d : d + 1, :]  # (TM, TK)
         d2 = d2 + diff * diff
-    k = amp_ref[0, 0] * jnp.exp(-0.5 * d2)  # (TM, TK)
+    k = amp_ref[0, 0] * stationary_from_sqdist(d2, family)  # (TM, TK)
     mean_ref[:] += jnp.dot(k, alpha_ref[:], preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
@@ -75,8 +79,9 @@ def fused_gp_predict_mean(
     tile_q: int = 256,
     tile_k: int = 512,
     interpret: Optional[bool] = None,
+    family: str = "rbf",
 ) -> Array:
-    """Posterior mean k(X*,X) α for a C·RBF(+White) GP without ever
+    """Posterior mean k(X*,X) α for a C·stationary(+White) GP without ever
     materializing the Gram in HBM.  Returns (Nq, P) float32."""
     if interpret is None:
         interpret = not _on_tpu()
@@ -100,7 +105,7 @@ def fused_gp_predict_mean(
 
     grid = (Nq_p // tile_q, N_p // tile_k)
     mean = pl.pallas_call(
-        _mean_kernel,
+        functools.partial(_mean_kernel, family=family),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -115,15 +120,18 @@ def fused_gp_predict_mean(
     return mean[:Nq]
 
 
-def rbf_gram(
+def stationary_gram(
     X: Array,
     Z: Array,
     lengthscale: Array,
     amplitude,
     tile: int = 256,
     interpret: Optional[bool] = None,
+    family: str = "rbf",
 ) -> Array:
-    """Tiled RBF Gram amp·exp(−½‖x/ℓ − z/ℓ‖²): (N, M) float32."""
+    """Tiled stationary Gram amp·k((x−z)/ℓ): (N, M) float32."""
+    from .blocked_chol import stationary_from_sqdist
+
     if interpret is None:
         interpret = not _on_tpu()
     N, D = X.shape
@@ -142,7 +150,7 @@ def rbf_gram(
         for d in range(x_ref.shape[1]):
             diff = x_ref[:, d : d + 1] - zT_ref[d : d + 1, :]
             d2 = d2 + diff * diff
-        out_ref[:] = amp_ref[0, 0] * jnp.exp(-0.5 * d2)
+        out_ref[:] = amp_ref[0, 0] * stationary_from_sqdist(d2, family)
 
     out = pl.pallas_call(
         kernel,
@@ -157,3 +165,9 @@ def rbf_gram(
         interpret=interpret,
     )(X_pad, ZT_pad, amp)
     return out[:N, :M]
+
+
+def rbf_gram(X, Z, lengthscale, amplitude, tile: int = 256,
+             interpret: Optional[bool] = None) -> Array:
+    """Back-compat alias: RBF Gram (see :func:`stationary_gram`)."""
+    return stationary_gram(X, Z, lengthscale, amplitude, tile, interpret, "rbf")

@@ -150,9 +150,7 @@ def transport_apply(
         KiK = jnp.dot(gp.K_inv, kT, precision=HI)  # (N, Q)
         var = kernel.diag(pos) - jnp.sum(KiK * kT, axis=0)
     else:
-        from ..ops.linalg import tri_solve_lower
-
-        V = tri_solve_lower(gp.L, kT)  # (N, Q)
+        V = gp_core._solve_lower_any(gp, kT)  # (N, Q)
         var = kernel.diag(pos) - jnp.sum(V * V, axis=0)
     std_q = jnp.sqrt(jnp.maximum(var, 0.0)) - jnp.sqrt(
         gp_core.white_noise_level(kernel)
@@ -166,6 +164,11 @@ def transport_apply(
     if gp.K_inv is not None:
         KidkT = jnp.einsum("nm,dmq->dnq", gp.K_inv, dkT, precision=HI)
         quadT = jnp.sum(KidkT * dkT, axis=1)  # (D, Q)
+    elif gp.chol is not None:
+        D_, N_, Q_ = dkT.shape
+        rhs = jnp.transpose(dkT, (1, 0, 2)).reshape(N_, D_ * Q_)
+        Vd = gp_core._solve_lower_any(gp, rhs)  # (N, D·Q)
+        quadT = jnp.sum((Vd * Vd).reshape(N_, D_, Q_), axis=0)  # (D, Q)
     else:
         from ..ops.linalg import tri_solve_lower
 

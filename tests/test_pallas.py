@@ -57,6 +57,56 @@ def test_fused_predict_mean_agrees_with_exact_gp():
     np.testing.assert_allclose(got, expected, atol=2e-4)
 
 
+@pytest.mark.parametrize("family,nu", [("matern32", 1.5), ("matern52", 2.5)])
+def test_fused_predict_mean_matern_matches_dense(family, nu):
+    """Matern fused predict (VERDICT r2 #3): same tiling, VPU-only change."""
+    N, Nq, D, P = 90, 70, 2, 2
+    X = jnp.asarray(rng.randn(N, D), jnp.float32)
+    Xq = jnp.asarray(rng.randn(Nq, D), jnp.float32)
+    alpha = jnp.asarray(rng.randn(N, P), jnp.float32)
+    ls = jnp.asarray([1.0, 2.0], jnp.float32)
+    amp = 3.0
+    got = np.asarray(
+        pallas_gram.fused_gp_predict_mean(
+            Xq, X, alpha, ls, amp, tile_q=16, tile_k=32, interpret=True,
+            family=family,
+        )
+    )
+    k = np.asarray((K.Constant(amp) * K.Matern(ls, nu=nu))(Xq, X))
+    expected = k @ np.asarray(alpha)
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_stationary_gram_matern_matches_kernel():
+    X = jnp.asarray(rng.randn(50, 2), jnp.float32)
+    Z = jnp.asarray(rng.randn(37, 2), jnp.float32)
+    ls = jnp.asarray([1.5, 0.7], jnp.float32)
+    amp = 2.5
+    got = np.asarray(
+        pallas_gram.stationary_gram(X, Z, ls, amp, tile=16, interpret=True,
+                                    family="matern52")
+    )
+    expected = np.asarray((K.Constant(amp) * K.Matern(ls, nu=2.5))(X, Z))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_predict_routes_matern_family_params():
+    """stationary_family_params recognizes the reference's canonical
+    C*Matern(2.5)+White policy-DS kernel (surface_generalization.py:49)."""
+    from gaussian_process_transportation_tpu.models import exact_gp as core
+
+    kern = K.Constant(0.1) * K.Matern(jnp.asarray([0.3, 0.3]), nu=2.5) + K.White(0.0001)
+    params = core.stationary_family_params(kern)
+    assert params is not None
+    fam, amp, ls = params
+    assert fam == "matern52"
+    np.testing.assert_allclose(float(amp), 0.1)
+    np.testing.assert_allclose(np.asarray(ls), [0.3, 0.3])
+    # RBF still reports rbf; unsupported kernels return None
+    assert core.stationary_family_params(K.RBF(1.0))[0] == "rbf"
+    assert core.stationary_family_params(K.RBF(1.0) * K.RBF(2.0)) is None
+
+
 @pytest.mark.tpu
 def test_fused_predict_routes_and_matches_on_tpu():
     """Real-hardware golden for the production fused-predict routing
