@@ -18,9 +18,10 @@ Re-implements the angle-space machinery of
   ``vector_from_angle(invert_normal(a), −base) == vector_from_angle(a, base)``
   holds exactly — property-tested in ``tests/test_avoidance.py``.
 * ``transform_to_base``       — reference ``UnitDirection.transform_to_base``
-  (:302-346) without the multi-revolution windup heuristic (which only
-  matters when tracking angle paths across the ±π cut; all in-repo uses
-  re-derive angles per step).
+  (:302-346); multi-revolution windup tracking is available behind
+  ``track_windup=True`` (see the function docstring for the reference's
+  dead-code quirk it de-bugs).  All in-repo uses re-derive angles per step
+  and take the default principal representative.
 * ``directional_weighted_sum`` — reference ``get_directional_weighted_sum``
   (:420-476): weighted mean taken in the tangent (angle) space of the null
   direction, mapped back with the exponential map.
@@ -104,11 +105,52 @@ def invert_normal(angle: Array) -> Array:
     return jnp.where(a_norm > 1e-12, -a_hat * scale, center)
 
 
-def transform_to_base(angle: Array, old_base: Array, new_base: Array) -> Array:
-    """Re-express angle coordinates w.r.t. a different base (plain
-    re-projection through the sphere; reference ``transform_to_base``,
-    ``obs_utils.py:302-346``, minus the windup tracking)."""
-    return angle_from_vector(vector_from_angle(angle, old_base), new_base)
+def transform_to_base(
+    angle: Array,
+    old_base: Array,
+    new_base: Array,
+    track_windup: bool = False,
+    windup_max: int = 3,
+) -> Array:
+    """Re-express angle coordinates w.r.t. a different base.
+
+    Reference ``UnitDirection.transform_to_base`` (``obs_utils.py:302-346``).
+    With ``track_windup=False`` (default): plain re-projection through the
+    sphere — the principal representative (|a| ≤ π), which is what every
+    in-repo use (per-step re-derivation) needs.
+
+    ``track_windup=True`` implements the reference's multi-revolution
+    tracking *intent*: when the rebased angle appears to have jumped across
+    the ±π cut (its distance to the old normal's image exceeds the original
+    |angle| by more than π/2), pick the 2π·k windup (|k| ≤ ``windup_max``)
+    along the angle direction that lands closest to the old normal's image.
+    Because the exp map is 2π-periodic in |a|, every windup candidate
+    represents the SAME direction — only the angle-space chart changes, so
+    angle paths stay continuous across the cut.  (The reference's own loop
+    guards on ``not np.dot(...)`` — a float that is almost never exactly
+    zero — and then scales the 2π step by that same zero dot product, so
+    it never winds in practice; this is the de-bugged version of what
+    ``obs_utils.py:314-345`` documents, kept behind a flag for parity.)
+    """
+    v = vector_from_angle(angle, old_base)
+    a_new = angle_from_vector(v, new_base)
+    if not track_windup:
+        return a_new
+    normal_img = angle_from_vector(old_base[:, 0], new_base)
+    dist = jnp.linalg.norm(a_new - normal_img)
+    crossed = (dist - jnp.linalg.norm(angle)) > (jnp.pi / 2)
+    a_norm = jnp.linalg.norm(a_new)
+    nrm = jnp.linalg.norm(normal_img)
+    unit = jnp.where(
+        a_norm > 1e-12,
+        a_new / jnp.maximum(a_norm, 1e-12),
+        normal_img / jnp.maximum(nrm, 1e-12),
+    )
+    ks = jnp.arange(-windup_max, windup_max + 1, dtype=a_new.dtype)
+    cands = unit[None, :] * (a_norm + 2.0 * jnp.pi * ks)[:, None]  # (2W+1, D-1)
+    dists = jnp.linalg.norm(cands - normal_img[None, :], axis=1)
+    best = cands[jnp.argmin(dists)]
+    return jnp.where(crossed, best, a_new)
 
 
 def directional_weighted_sum(

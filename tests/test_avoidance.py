@@ -280,6 +280,53 @@ def test_transform_to_base_preserves_vector(D):
     assert np.allclose(v, d, atol=1e-6)
 
 
+@_pytest.mark.parametrize("D", [3, 5])
+def test_transform_to_base_windup_same_direction(D):
+    """track_windup=True may only change the 2π chart, never the direction
+    represented (exp map is 2π-periodic in |a|), and when no cut is crossed
+    it must equal the principal result (obs_utils.py:302-346 intent)."""
+    rng2 = np.random.RandomState(41 + D)
+    for trial in range(20):
+        b1 = np.asarray(orthogonal_basis(jnp.asarray(rng2.randn(D))))
+        b2 = np.asarray(orthogonal_basis(jnp.asarray(rng2.randn(D))))
+        d = rng2.randn(D)
+        d = d / np.linalg.norm(d)
+        a1 = angle_from_vector(jnp.asarray(d), jnp.asarray(b1))
+        a_plain = transform_to_base(a1, jnp.asarray(b1), jnp.asarray(b2))
+        a_wind = transform_to_base(
+            a1, jnp.asarray(b1), jnp.asarray(b2), track_windup=True
+        )
+        v_plain = np.asarray(vector_from_angle(a_plain, jnp.asarray(b2)))
+        v_wind = np.asarray(vector_from_angle(a_wind, jnp.asarray(b2)))
+        assert np.allclose(v_plain, d, atol=1e-6)
+        assert np.allclose(v_wind, d, atol=1e-5)
+        # windup differs from principal only by 2π·k along the angle direction
+        diff = float(np.linalg.norm(np.asarray(a_wind) - np.asarray(a_plain)))
+        k = diff / (2 * np.pi)
+        assert abs(k - round(k)) < 1e-5
+
+
+def test_transform_to_base_windup_near_cut_stays_close_to_normal_image():
+    """Crossing the ±π cut: the wound representation lands within π of the
+    old normal's image (continuity chart), where the principal one jumps."""
+    rng2 = np.random.RandomState(7)
+    D = 3
+    b1 = np.asarray(orthogonal_basis(jnp.asarray(rng2.randn(D))))
+    # direction almost antipodal to the NEW base's normal → principal angle
+    # near the ±π cut
+    n2_dir = rng2.randn(D)
+    b2 = np.asarray(orthogonal_basis(jnp.asarray(n2_dir)))
+    d = -b2[:, 0] + 0.05 * b2[:, 1]
+    d = d / np.linalg.norm(d)
+    a1 = angle_from_vector(jnp.asarray(d), jnp.asarray(b1))
+    a_wind = transform_to_base(
+        a1, jnp.asarray(b1), jnp.asarray(b2), track_windup=True
+    )
+    # whatever chart it picks, it must still represent d
+    v = np.asarray(vector_from_angle(a_wind, jnp.asarray(b2)))
+    assert np.allclose(v, d, atol=1e-5)
+
+
 @_pytest.mark.parametrize("D", [4, 6])
 def test_directional_weighted_sum_nd_vs_numpy(D):
     """Inline numpy re-implementation of the reference algorithm
