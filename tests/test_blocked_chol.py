@@ -212,6 +212,44 @@ def test_condition_blocked_transport_apply_matches_dense():
 
 
 @pytest.mark.tpu
+def test_condition_blocked_variance_on_tpu_matches_f64():
+    """Real-hardware golden for the panel-factor variance path (VERDICT r2
+    #2 'Done' criterion): at N ≥ 4096 the production condition() routes
+    through the panel factor (no dense L), and predict(return_std=True)
+    must match the f64 golden within the f32 conditioning limit."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU")
+    from gaussian_process_transportation_tpu import kernels as K
+    from gaussian_process_transportation_tpu.models import exact_gp as eg
+
+    N, Nq, D = 4352, 512, 3
+    X = rng.randn(N, D).astype(np.float32)
+    Y = np.sin(X[:, :2]).astype(np.float32)
+    Xq = rng.randn(Nq, D).astype(np.float32)
+    amp, noise = 2.0, 0.1
+    kern = K.Constant(amp) * K.RBF(jnp.ones(D, jnp.float32)) + K.White(noise)
+
+    gp = eg.condition(kern, jnp.asarray(X), jnp.asarray(Y), jitter=1e-6)
+    assert gp.chol is not None and gp.L is None  # production route = panels
+    mean, std = eg.predict(gp, jnp.asarray(Xq), return_std=True)
+    mean, std = np.asarray(mean), np.asarray(std)
+
+    X64, Xq64 = X.astype(np.float64), Xq.astype(np.float64)
+    d2 = ((X64[:, None, :] - X64[None, :, :]) ** 2).sum(-1)
+    K64 = amp * np.exp(-0.5 * d2) + (noise + 1e-6) * np.eye(N)
+    ks = amp * np.exp(-0.5 * ((Xq64[:, None, :] - X64[None, :, :]) ** 2).sum(-1))
+    sol = np.linalg.solve(K64, np.concatenate([Y.astype(np.float64), ks.T], 1))
+    mean64 = ks @ sol[:, :2]
+    var64 = (amp + noise) - np.sum(ks * sol[:, 2:].T, axis=1)
+    std64 = np.sqrt(np.maximum(var64, 0.0))
+
+    m_scale = np.abs(mean64).max()
+    assert np.abs(mean - mean64).max() / m_scale < 5e-3
+    # predictive std at the f32 conditioning limit (same as builtin f32)
+    assert np.abs(std - std64[:, None]).max() < 5e-3 * np.abs(std64).max() + 1e-3
+
+
+@pytest.mark.tpu
 def test_blocked_cholesky_on_tpu_matches_f64():
     """Real-hardware golden (runs only when a TPU backend is default)."""
     if jax.default_backend() != "tpu":
