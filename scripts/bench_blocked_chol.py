@@ -1,6 +1,7 @@
 """Measure the Pallas-panel blocked Cholesky on the real TPU chip.
 
-Usage: python scripts/bench_blocked_chol.py [N] [block] [precision]
+Usage: python scripts/bench_blocked_chol.py [N] [block] [precision] [family]
+family ∈ {rbf, matern12, matern32, matern52} (default rbf).
 Prints accuracy vs f64 CPU golden and TFLOP/s for ours vs the XLA builtin.
 Timing forces a host transfer (np.asarray) — block_until_ready does not
 synchronize over the axon tunnel (CLAUDE.md).
@@ -20,6 +21,7 @@ BLOCK = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 PREC_NAME = sys.argv[3] if len(sys.argv) > 3 else "highest"
 PREC = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT}[PREC_NAME]
+FAMILY = sys.argv[4] if len(sys.argv) > 4 else "rbf"
 ITERS = int(os.environ.get("ITERS", "5"))
 
 jax.config.update("jax_default_matmul_precision", "highest")
@@ -27,8 +29,22 @@ jax.config.update("jax_default_matmul_precision", "highest")
 from gaussian_process_transportation_tpu.ops.blocked_chol import gram_cholesky_solve
 from gaussian_process_transportation_tpu.ops.linalg import add_diagonal, cho_solve_lower
 
-print(f"N={N} block={BLOCK} precision={PREC_NAME} backend={jax.default_backend()}",
-      flush=True)
+print(f"N={N} block={BLOCK} precision={PREC_NAME} family={FAMILY} "
+      f"backend={jax.default_backend()}", flush=True)
+
+
+def _np_kernel(D2):
+    """f64 golden kernel value from squared distance (matches FAMILY)."""
+    if FAMILY == "rbf":
+        return np.exp(-0.5 * D2)
+    d = np.sqrt(D2)
+    if FAMILY == "matern12":
+        return np.exp(-d)
+    if FAMILY == "matern32":
+        s = np.sqrt(3.0) * d
+        return (1.0 + s) * np.exp(-s)
+    s = np.sqrt(5.0) * d
+    return (1.0 + s + s * s / 3.0) * np.exp(-s)
 
 rng = np.random.default_rng(0)
 X = rng.standard_normal((N, 3)).astype(np.float32)
@@ -43,7 +59,7 @@ if not int(os.environ.get("SKIP_GOLDEN", "0")):
     X64 = X.astype(np.float64)
     sq = (X64 * X64).sum(1)
     D2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X64 @ X64.T), 0.0)
-    K64 = amp * np.exp(-0.5 * D2) + noise * np.eye(N)
+    K64 = amp * _np_kernel(D2) + noise * np.eye(N)
     a64 = np.linalg.solve(K64, Y.astype(np.float64))
     print(f"golden f64 solve: {time.perf_counter()-t0:.1f}s", flush=True)
     del D2, K64
@@ -52,7 +68,8 @@ Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
 lsd = jnp.asarray(ls)
 
 fused = jax.jit(lambda Xs, Ys: gram_cholesky_solve(
-    Xs, Ys, lsd, amp, noise, block=BLOCK, precision=PREC, interpret=False)[0])
+    Xs, Ys, lsd, amp, noise, block=BLOCK, precision=PREC, interpret=False,
+    family=FAMILY)[0])
 
 t0 = time.perf_counter()
 alpha = np.asarray(fused(Xd, Yd))
@@ -102,11 +119,14 @@ if int(os.environ.get("SKIP_BUILTIN", "0")):
 kern_amp, kern_noise = amp, noise
 
 
+from gaussian_process_transportation_tpu.ops.blocked_chol import stationary_from_sqdist
+
+
 @jax.jit
 def builtin(Xs, Ys):
     sqd = jnp.sum(Xs * Xs, 1)
     d2 = jnp.maximum(sqd[:, None] + sqd[None, :] - 2 * Xs @ Xs.T, 0.0)
-    Km = add_diagonal(kern_amp * jnp.exp(-0.5 * d2), kern_noise)
+    Km = add_diagonal(kern_amp * stationary_from_sqdist(d2, FAMILY), kern_noise)
     L = jnp.linalg.cholesky(Km)
     return cho_solve_lower(L, Ys)
 

@@ -50,7 +50,14 @@ def timed(fn, sync, reps=3):
 
 
 # ---- panel-factor path (production condition() route at this N) ----
-gp_b = eg.condition_blocked(kern, Xd, Yd, jitter=1e-6, interpret=False)
+# jit the whole conditioning: eager panel-by-panel execution pays a tunnel
+# RPC per GEMM (minutes); one jitted program compiles once
+cond_b = jax.jit(lambda Xs, Ys: eg.condition_blocked(kern, Xs, Ys, jitter=1e-6,
+                                                     interpret=False))
+t0 = time.perf_counter()
+gp_b = cond_b(Xd, Yd)
+np.asarray(gp_b.alpha[0])
+print(f"blocked condition compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
 assert gp_b.L is None
 pred_b = jax.jit(lambda xq: eg.predict(gp_b, xq, return_std=True))
 t0 = time.perf_counter()
