@@ -5,6 +5,7 @@ from .ensemble import (
     make_ensemble_train_step,
 )
 from .samplers import hmc, nuts, sample_gp_posterior, split_rhat, effective_sample_size
+from .sharded_chol import ShardedBlockedCholesky, sharded_gram_cholesky_solve
 from . import smc
 
 __all__ = [
@@ -19,5 +20,7 @@ __all__ = [
     "sample_gp_posterior",
     "split_rhat",
     "effective_sample_size",
+    "ShardedBlockedCholesky",
+    "sharded_gram_cholesky_solve",
     "smc",
 ]
