@@ -4,6 +4,8 @@ from .exact_gp import (
     log_marginal_likelihood,
     fit,
     fit_jit,
+    fit_blocked,
+    condition_blocked,
     predict,
     predict_cov,
     sample_y,
@@ -27,6 +29,8 @@ __all__ = [
     "log_marginal_likelihood",
     "fit",
     "fit_jit",
+    "fit_blocked",
+    "condition_blocked",
     "predict",
     "predict_cov",
     "sample_y",

@@ -29,6 +29,7 @@ import optax
 from flax import struct
 
 from ..kernels import Kernel, RBF, White, Constant, Sum, Product, Matern
+from ..kernels.stationary import DEFAULT_BOUNDS
 from ..ops.blocked_chol import BlockedCholesky
 from ..ops.linalg import (
     add_diagonal,
@@ -541,6 +542,164 @@ def fit(
             best_val, best_theta = res.fun, res.x
     fitted = kernel.with_theta(jnp.asarray(best_theta))
     return condition(fitted, Xd, Yd, jitter)
+
+
+def _family_nodes(kernel: Kernel):
+    """(constant_node, base_node, white_node) of a C·stationary(+White)
+    kernel tree; missing wrappers come back as None."""
+    const = base = white = None
+
+    def walk(k):
+        nonlocal const, base, white
+        if isinstance(k, Sum):
+            walk(k.k1)
+            walk(k.k2)
+        elif isinstance(k, Product):
+            walk(k.k1)
+            walk(k.k2)
+        elif isinstance(k, Constant):
+            const = k
+        elif isinstance(k, White):
+            white = k
+        elif isinstance(k, (RBF, Matern)):
+            base = k
+
+    walk(kernel)
+    return const, base, white
+
+
+def fit_blocked(
+    kernel: Kernel,
+    X: Array,
+    Y: Array,
+    maxiter: int = 40,
+    jitter: float = 1e-10,
+    block: int = 512,
+    precision=None,
+    interpret: Optional[bool] = None,
+    refine_iters: int = 1,
+) -> ExactGP:
+    """Large-N hyperparameter fit through the blocked panel Cholesky.
+
+    The whole optimization is one compiled ``lax.scan`` of optax L-BFGS
+    steps whose value-and-grad is the closed-form panel LML of
+    ``ops/blocked_lml.py`` — per iteration ≈ 3·(N³/3) MXU FLOPs
+    *independent of the number of hyperparameters*, with no AD through the
+    factorization and no dense (N, N) buffer.  This removes the practical
+    reason for the reference's 20 000-point active-learning cap
+    (``models/gaussian_process_al.py:16``): sklearn's fit there is minutes
+    per restart on CPU at N=10k; this path is tens of ms per L-BFGS step
+    on one TPU chip.
+
+    Requires the C·stationary(+White) family (:func:`stationary_family_params`);
+    the returned GP's kernel is the canonical
+    ``Constant·base + White`` reconstruction at the fitted values (bounds
+    preserved from the input tree).  Semantics match :func:`fit`:
+    log-space L-BFGS clipped to the kernel's theta bounds, then
+    conditioning at the optimum (via :func:`condition_blocked`).
+    """
+    from ..ops.blocked_lml import make_blocked_lml
+
+    parts = stationary_family_params(kernel)
+    if parts is None:
+        raise ValueError(
+            "fit_blocked requires a C*stationary(+White) kernel "
+            "(RBF or Matern nu in {0.5, 1.5, 2.5}); got "
+            f"{type(kernel).__name__}. Use fit/fit_jit for other kernels."
+        )
+    fam, amp0, ls0 = parts
+    const_node, base_node, white_node = _family_nodes(kernel)
+
+    Y2 = Y if Y.ndim == 2 else Y[:, None]
+    if not isinstance(jnp.asarray(X), jax.core.Tracer):
+        X, Y2 = _filter_nan_rows(X, Y2)
+    X = jnp.asarray(X, jnp.float32)
+    Y2 = jnp.asarray(Y2, jnp.float32)
+    D = X.shape[1]
+
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGH
+            if jax.default_backend() == "tpu"
+            else jax.lax.Precision.HIGHEST
+        )
+
+    noise0 = white_noise_level(kernel)
+    theta0 = {
+        "log_amp": jnp.log(jnp.asarray(amp0, jnp.float32)),
+        "log_ls": jnp.log(jnp.broadcast_to(
+            jnp.atleast_1d(ls0).astype(jnp.float32), (D,)
+        )),
+        "log_noise": jnp.log(jnp.maximum(jnp.asarray(noise0, jnp.float32), 1e-8)),
+    }
+
+    def _log_bounds(node, default=(1e-5, 1e5)):
+        b = node.bounds if node is not None else default
+        return math.log(b[0]), math.log(b[1])
+
+    lo_hi = {
+        "log_amp": _log_bounds(const_node),
+        "log_ls": _log_bounds(base_node),
+        "log_noise": _log_bounds(white_node),
+    }
+    lo = {k: jnp.full_like(theta0[k], v[0]) for k, v in lo_hi.items()}
+    hi = {k: jnp.full_like(theta0[k], v[1]) for k, v in lo_hi.items()}
+
+    lml = make_blocked_lml(
+        fam,
+        jitter=_eff_jitter(jnp.float32, jitter),
+        block=block,
+        precision=precision,
+        interpret=interpret,
+        refine_iters=refine_iters,
+    )
+
+    def nll(theta):
+        v = -lml(theta, X, Y2)
+        return jnp.where(jnp.isfinite(v), v, 1e25)
+
+    opt = optax.lbfgs()
+
+    @jax.jit
+    def run(t0):
+        state0 = opt.init(t0)
+
+        def step(carry, _):
+            theta, state = carry
+            v, g = jax.value_and_grad(nll)(theta)
+            g = jax.tree_util.tree_map(
+                lambda x: jnp.where(jnp.isfinite(x), x, 0.0), g
+            )
+            updates, state = opt.update(
+                g, state, theta, value=v, grad=g, value_fn=nll
+            )
+            theta = optax.apply_updates(theta, updates)
+            theta = jax.tree_util.tree_map(jnp.clip, theta, lo, hi)
+            return (theta, state), v
+
+        (theta, _), vals = jax.lax.scan(step, (t0, state0), None, length=maxiter)
+        return theta, vals
+
+    theta, _ = run(theta0)
+
+    base_kwargs = {"lengthscale": jnp.exp(theta["log_ls"])}
+    if isinstance(base_node, Matern):
+        base = Matern(nu=base_node.nu, bounds=base_node.bounds, **base_kwargs)
+    else:
+        base = RBF(
+            bounds=base_node.bounds if base_node is not None else DEFAULT_BOUNDS,
+            **base_kwargs,
+        )
+    fitted = Constant(
+        jnp.exp(theta["log_amp"]),
+        bounds=const_node.bounds if const_node is not None else DEFAULT_BOUNDS,
+    ) * base + White(
+        jnp.exp(theta["log_noise"]),
+        bounds=white_node.bounds if white_node is not None else DEFAULT_BOUNDS,
+    )
+    return condition_blocked(
+        fitted, X, Y2, jitter=jitter, block=block, interpret=interpret
+    )
 
 
 def fit_jit(

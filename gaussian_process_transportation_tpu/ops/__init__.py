@@ -18,6 +18,15 @@ from .blocked_chol import (
     stationary_gram_panels,
 )
 
+# Closed-form LML + hyperparameter gradients in panel form (large-N fits).
+from .blocked_lml import (
+    blocked_lml_value_and_grad,
+    kinv_panels,
+    make_blocked_lml,
+    stationary_dk_dd2,
+    tri_inverse_panels,
+)
+
 # Experimental XLA-level mixed-precision variants (lose to the Pallas path
 # on TPU — kept for the PCG refinement and as a measured record).
 from .mixed_linalg import (
@@ -41,6 +50,11 @@ __all__ = [
     "rbf_gram_panels",
     "stationary_from_sqdist",
     "stationary_gram_panels",
+    "blocked_lml_value_and_grad",
+    "kinv_panels",
+    "make_blocked_lml",
+    "stationary_dk_dd2",
+    "tri_inverse_panels",
     "blocked_cholesky_mixed",
     "ir_solve",
     "pcg_solve",
