@@ -70,6 +70,34 @@ def test_active_learning_wrapper_subsamples():
     assert dy.shape == (5, 2, 2) and ds.shape == (5, 2, 1)
 
 
+def test_active_learning_blocked_fit_route():
+    """use_blocked=True routes the subset hyperopt through the panel-LML
+    fit (fit_blocked) — the large-N production path, exercised here in
+    interpret mode at a small cap."""
+    N = 500
+    X = (rng.rand(N, 2) * 4 - 2).astype(np.float32)
+    Y = np.stack([np.sin(1.5 * X[:, 0]), np.cos(0.7 * X[:, 1])], 1).astype(
+        np.float32
+    ) + 0.05 * rng.randn(N, 2).astype(np.float32)
+    m = GaussianProcessActiveLearning(
+        K.Constant(1.0, bounds=(1e-3, 1e3))
+        * K.RBF(jnp.ones(2, jnp.float32), bounds=(1e-2, 1e2))
+        + K.White(0.1, bounds=(1e-6, 10.0)),
+        n_samples_max=256,
+        use_blocked=True,
+        blocked_kwargs=dict(block=128, interpret=True, maxiter=10),
+    )
+    m.fit(X, Y)
+    assert m.state.X.shape[0] == 256
+    assert m.state.chol is not None and m.state.L is None  # panel form
+    mean, std = m.predict(X[:50])
+    rmse = np.sqrt(np.mean((np.asarray(mean) - Y[:50]) ** 2))
+    assert rmse < 0.25, rmse
+    dy, ds = m.derivative(X[:5])
+    assert dy.shape == (5, 2, 2) and ds.shape == (5, 2, 1)
+    assert np.isfinite(np.asarray(dy)).all() and np.isfinite(np.asarray(ds)).all()
+
+
 def _problem():
     t = np.linspace(0, 1, 50)
     X = np.stack([10 * t, 3 + 2 * np.sin(3 * t)], 1)
