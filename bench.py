@@ -357,7 +357,10 @@ def _enable_compile_cache():
         import jax
 
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # 2 s (not the 5 s default): the SMC program compiles in ~4 s on a
+        # healthy tunnel and was never cached at 5.0, so a congested tunnel
+        # recompile cost 197 s in an r3 bench run
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
 
