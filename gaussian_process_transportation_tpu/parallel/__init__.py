@@ -6,6 +6,11 @@ from .ensemble import (
 )
 from .samplers import hmc, nuts, sample_gp_posterior, split_rhat, effective_sample_size
 from .sharded_chol import ShardedBlockedCholesky, sharded_gram_cholesky_solve
+from .sharded_lml import (
+    fit_sharded,
+    make_sharded_lml,
+    sharded_lml_value_and_grad,
+)
 from . import smc
 
 __all__ = [
@@ -22,5 +27,8 @@ __all__ = [
     "effective_sample_size",
     "ShardedBlockedCholesky",
     "sharded_gram_cholesky_solve",
+    "fit_sharded",
+    "make_sharded_lml",
+    "sharded_lml_value_and_grad",
     "smc",
 ]

@@ -1,0 +1,123 @@
+"""Distributed panel-LML goldens (parallel/sharded_lml.py).
+
+Run on the 8-device virtual CPU mesh (conftest); the single-device panel
+LML (ops/blocked_lml.py, itself golden-tested against dense f64 autodiff)
+is the equality reference, so these tests pin the DISTRIBUTION logic:
+block-cyclic T columns, trace accumulation over block pairs, psum
+reductions.
+"""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from gaussian_process_transportation_tpu.ops.blocked_lml import (
+    blocked_lml_value_and_grad,
+)
+from gaussian_process_transportation_tpu.parallel.sharded_lml import (
+    fit_sharded,
+    make_sharded_lml,
+    sharded_lml_value_and_grad,
+)
+from gaussian_process_transportation_tpu import kernels as K
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mesh(D):
+    return Mesh(np.array(jax.devices("cpu")[:D]), ("data",))
+
+
+def _problem(n=350, nd=3, p=2, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, nd)).astype(np.float32)
+    Y = (np.sin(2.0 * X[:, :1]) + 0.1 * rng.standard_normal((n, p))).astype(
+        np.float32
+    )
+    return jnp.asarray(X), jnp.asarray(Y)
+
+
+# interpret-mode pallas × D virtual devices is minutes-scale on the 2-core
+# box: keep one (D=2, rbf) combination in the fast tier, the rest slow
+@pytest.mark.parametrize(
+    "D",
+    [2, pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(8, marks=pytest.mark.slow)],
+)
+@pytest.mark.parametrize(
+    "family",
+    ["rbf", pytest.param("matern52", marks=pytest.mark.slow)],
+)
+def test_sharded_lml_matches_single_device(D, family):
+    X, Y = _problem()
+    log_amp = jnp.asarray(0.3, jnp.float32)
+    log_ls = jnp.log(jnp.asarray([1.2, 0.8, 1.5], jnp.float32))
+    log_noise = jnp.asarray(math.log(0.05), jnp.float32)
+
+    val_s, (ga_s, gl_s, gn_s) = sharded_lml_value_and_grad(
+        X, Y, family, log_amp, log_ls, log_noise,
+        mesh=_mesh(D), block=128, jitter=1e-6, precision=_HI, interpret=True,
+    )
+    val_1, (ga_1, gl_1, gn_1) = blocked_lml_value_and_grad(
+        X, Y, family, log_amp, log_ls, log_noise,
+        jitter=1e-6, block=128, precision=_HI, interpret=True,
+        refine_iters=0,
+    )
+    assert np.allclose(float(val_s), float(val_1), rtol=1e-5), (val_s, val_1)
+    scale = max(abs(float(ga_1)), np.abs(np.asarray(gl_1)).max(),
+                abs(float(gn_1)))
+    assert abs(float(ga_s) - float(ga_1)) < 1e-4 * scale
+    np.testing.assert_allclose(np.asarray(gl_s), np.asarray(gl_1),
+                               atol=1e-4 * scale)
+    assert abs(float(gn_s) - float(gn_1)) < 1e-4 * scale
+
+
+def test_sharded_lml_custom_vjp_and_isotropic():
+    X, Y = _problem(n=300, nd=2, p=1, seed=1)
+    mesh = _mesh(4)
+    lml = make_sharded_lml("rbf", mesh, block=128, jitter=1e-6,
+                           interpret=True)
+    theta = {
+        "log_amp": jnp.asarray(0.1, jnp.float32),
+        "log_ls": jnp.asarray(0.2, jnp.float32),  # isotropic scalar
+        "log_noise": jnp.asarray(math.log(0.1), jnp.float32),
+    }
+    v, g = jax.value_and_grad(lml)(theta, X, Y)
+    theta_ard = dict(theta, log_ls=jnp.full((2,), 0.2, jnp.float32))
+    v2, (ga, gl, gn) = sharded_lml_value_and_grad(
+        X, Y, "rbf", theta_ard["log_amp"], theta_ard["log_ls"],
+        theta_ard["log_noise"], mesh=mesh, block=128, jitter=1e-6,
+        interpret=True,
+    )
+    assert np.allclose(float(v), float(v2), rtol=1e-6)
+    assert g["log_ls"].shape == ()
+    assert np.allclose(float(g["log_ls"]), float(jnp.sum(gl)), rtol=1e-5)
+    assert np.allclose(float(g["log_amp"]), float(ga), rtol=1e-5, atol=1e-7)
+    assert np.allclose(float(g["log_noise"]), float(gn), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_fit_sharded_improves_lml():
+    from gaussian_process_transportation_tpu.models import exact_gp
+
+    rng = np.random.default_rng(5)
+    n, nd = 280, 2
+    X = rng.uniform(-2.0, 2.0, (n, nd)).astype(np.float32)
+    f = np.sin(1.5 * X[:, :1]) * np.cos(0.7 * X[:, 1:2])
+    Y = (f + 0.05 * rng.standard_normal((n, 1))).astype(np.float32)
+    kernel = (
+        K.Constant(1.0, bounds=(1e-3, 1e3))
+        * K.RBF(jnp.ones(nd, jnp.float32), bounds=(1e-2, 1e2))
+        + K.White(0.5, bounds=(1e-6, 1e1))
+    )
+    fitted, theta, vals = fit_sharded(
+        kernel, jnp.asarray(X), jnp.asarray(Y), mesh=_mesh(4),
+        maxiter=15, block=128, interpret=True,
+    )
+    lml0 = float(exact_gp.log_marginal_likelihood(kernel, X, Y, 1e-6))
+    lml1 = float(exact_gp.log_marginal_likelihood(fitted, X, Y, 1e-6))
+    assert lml1 > lml0 + 1.0, (lml0, lml1)
+    assert np.isfinite(np.asarray(vals)).all()
