@@ -113,6 +113,67 @@ def _factor_invert_base(D: Array) -> Tuple[Array, Array]:
     return LT.T, X
 
 
+def _factor_invert_base_r2(D: Array) -> Tuple[Array, Array]:
+    """Rank-2 variant of :func:`_factor_invert_base`: each sequential step
+    eliminates TWO columns (a 2×2 diagonal pivot), halving the loop length.
+
+    The per-column step of the rank-1 loop costs ~560 ns on v5e — mostly
+    cross-iteration dependency latency, not VPU element throughput — so
+    halving the step count recovers a large fraction of the panel kernel's
+    serial time (measured: 20 chained factor_panel(512) = 5.7 ms rank-1).
+    Identical math to two rank-1 steps, reassociated; exactness checked
+    against the rank-1 loop in tests/test_blocked_chol.py.
+    """
+    SB = D.shape[0]
+    assert SB % 2 == 0
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)
+    eye = jnp.where(row_iota == col_iota, 1.0, 0.0).astype(D.dtype)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SB, 1), 0)
+
+    def step(t, carry):
+        M, LT, X = carry
+        j = 2 * t
+        j1 = j + 1
+        # extract pivot rows/columns (M stays exactly symmetric under the
+        # rank-2 update, so rows double as columns without a transpose)
+        row_j = jnp.sum(jnp.where(row_iota == j, M, 0.0), axis=0, keepdims=True)
+        row_j1 = jnp.sum(jnp.where(row_iota == j1, M, 0.0), axis=0, keepdims=True)
+        col_j = jnp.sum(jnp.where(col_iota == j, M, 0.0), axis=1, keepdims=True)
+        col_j1 = jnp.sum(jnp.where(col_iota == j1, M, 0.0), axis=1, keepdims=True)
+        d11 = jnp.sum(jnp.where(lane == j, row_j, 0.0))
+        d12 = jnp.sum(jnp.where(lane == j1, row_j, 0.0))
+        d22 = jnp.sum(jnp.where(lane == j1, row_j1, 0.0))
+        inv11 = jax.lax.rsqrt(d11)
+        l21 = d12 * inv11
+        inv22 = jax.lax.rsqrt(d22 - l21 * l21)
+        # L columns j, j+1 as row vectors (c) and column vectors (cT)
+        c_j = jnp.where(lane >= j, row_j * inv11, 0.0)
+        cT_j = jnp.where(sub >= j, col_j * inv11, 0.0)
+        c_j1 = jnp.where(lane >= j1, (row_j1 - l21 * c_j) * inv22, 0.0)
+        cT_j1 = jnp.where(sub >= j1, (col_j1 - l21 * cT_j) * inv22, 0.0)
+        # rank-2 trailing update (one fused pass)
+        M = M - cT_j * c_j - cT_j1 * c_j1
+        LT = jnp.where(row_iota == j, c_j, LT)
+        LT = jnp.where(row_iota == j1, c_j1, LT)
+        # Gauss-Jordan on the identity, two coupled rows
+        xrow_j = jnp.sum(jnp.where(row_iota == j, X, 0.0), axis=0, keepdims=True) * inv11
+        xrow_j1 = (
+            jnp.sum(jnp.where(row_iota == j1, X, 0.0), axis=0, keepdims=True)
+            - l21 * xrow_j
+        ) * inv22
+        below_j = jnp.where(sub > j, cT_j, 0.0)
+        below_j1 = jnp.where(sub > j1, cT_j1, 0.0)
+        X = X - below_j * xrow_j - below_j1 * xrow_j1
+        X = jnp.where(row_iota == j, xrow_j, X)
+        X = jnp.where(row_iota == j1, xrow_j1, X)
+        return M, LT, X
+
+    _, LT, X = jax.lax.fori_loop(0, SB // 2, step, (D, jnp.zeros_like(D), eye))
+    return LT.T, X
+
+
 def _panel_kernel(a_ref, l_ref, linv_ref):
     """Factor one (B, B) SPD block: L (lower Cholesky) and L⁻¹.
 
@@ -134,7 +195,7 @@ def _panel_kernel(a_ref, l_ref, linv_ref):
         D = A[sl, sl]
         for m in range(s):
             D = D - _dot(Lb[s][m], Lb[s][m].T, _HIGHEST)
-        Ld, Xs = _factor_invert_base(D)
+        Ld, Xs = _factor_invert_base_r2(D)
         Lb[s][s] = Ld
         Xd[s] = Xs
         for i in range(s + 1, NB):

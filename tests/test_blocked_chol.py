@@ -32,6 +32,21 @@ def test_factor_panel_matches_lapack(B):
     assert np.allclose(np.triu(np.asarray(Linv), 1), 0.0)
 
 
+def test_rank2_base_matches_rank1_base():
+    """The rank-2 Gauss-Jordan step (production) is the same math as two
+    rank-1 steps reassociated — bitwise-close on the same input."""
+    K = _spd(128)
+    Kj = jnp.asarray(K)
+    L1, X1 = bc._factor_invert_base(Kj)
+    L2, X2 = bc._factor_invert_base_r2(Kj)
+    assert np.abs(np.asarray(L1) - np.asarray(L2)).max() < 1e-5 * np.abs(
+        np.asarray(L1)
+    ).max()
+    assert np.abs(np.asarray(X1) - np.asarray(X2)).max() < 1e-5 * np.abs(
+        np.asarray(X1)
+    ).max()
+
+
 @pytest.mark.parametrize("n,B", [(384, 128), (500, 128), (300, 256)])
 def test_blocked_cholesky_matches_dense(n, B):
     K = _spd(n)
