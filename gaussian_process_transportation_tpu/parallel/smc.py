@@ -93,7 +93,13 @@ def systematic_resample(particles: ParticleEnsemble, key: Array) -> ParticleEnse
     cum = jnp.cumsum(w)
     u0 = jax.random.uniform(key) / E
     points = u0 + jnp.arange(E) / E
-    idx = jnp.searchsorted(cum, points)
+    # prefix-count instead of jnp.searchsorted: idx_j = #{i : cum_i < p_j}.
+    # The (E, E) broadcast-compare + row-reduce is one fused VPU pass
+    # (sub-ms at E=8192) and trivial HLO — searchsorted's scan lowering
+    # took ~87 s to compile on the axon TPU backend and its executable is
+    # not persistable, which made the bench smc stage a ~200 s cold
+    # compile on every run (r3).
+    idx = jnp.sum((cum[None, :] < points[:, None]).astype(jnp.int32), axis=1)
     idx = jnp.clip(idx, 0, E - 1)
     return ParticleEnsemble(
         trajectories=particles.trajectories[idx],
