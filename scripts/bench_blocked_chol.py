@@ -77,6 +77,22 @@ print(f"ours compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
 if a64 is not None:
     err = np.abs(alpha - a64).max() / np.abs(a64).max()
     print(f"ours alpha rel err vs f64: {err:.2e}", flush=True)
+else:
+    # dense-golden-free validation for very large N: device-side residual
+    # ||K a - y||_inf / ||y||_inf through the panel matvec (no (N,N) buffer)
+    from gaussian_process_transportation_tpu.ops.blocked_chol import (
+        stationary_gram_panels, symmetric_matvec_panels)
+
+    @jax.jit
+    def _residual(Xs, Ys, a):
+        panels, nn = stationary_gram_panels(
+            Xs, lsd, amp, noise, block=BLOCK, precision=PREC, family=FAMILY)
+        r = symmetric_matvec_panels(panels, a, nn, precision=PREC) - Ys
+        return jnp.abs(r).max() / jnp.abs(Ys).max()
+
+    print(f"residual |K a - y|/|y| (device, panel matvec): "
+          f"{float(np.asarray(_residual(Xd, Yd, jnp.asarray(alpha)))):.2e}",
+          flush=True)
 
 flops = 2 * N * N * 3 + N**3 / 3 + 4 * N * N * 3
 
