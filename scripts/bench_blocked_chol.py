@@ -104,7 +104,7 @@ def timed(fn, reps=3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = fn()
-        np.asarray(out)[..., 0]
+        np.asarray(out)  # outputs here are small (scalar or one row)
         best.append((time.perf_counter() - t0) / ITERS)
     return float(np.median(best)), best
 
