@@ -100,6 +100,14 @@ def _timed_median(fn, sync, iters, reps=3):
     return float(np.median(times)), times
 
 
+# Committed nominal CPU-baseline rate (traj/s): measured 388-463 across
+# rounds 1-3 on an idle box.  The r3 driver run caught a 6x-degraded 63.9
+# traj/s (box contention) which inflated vs_baseline ~6x — when the live
+# measurement falls outside [NOMINAL/2, NOMINAL*2] the ratio is computed
+# against the nominal instead and the artifact self-flags (VERDICT r3 #2a).
+NOMINAL_CPU_BASELINE = 425.0
+
+
 def bench_reference_cpu(X, dX, S, S1, iters=5):
     """The reference pipeline (sklearn GPR, fixed hyperparams) — baseline."""
     from sklearn.gaussian_process import GaussianProcessRegressor
@@ -189,7 +197,9 @@ def bench_ours(X, dX, S, S1, ensemble=16384, iters=5):
         iters,
     )
     log(f"ours per-iter times (ms): {[f'{t*1e3:.0f}' for t in times]}")
-    return ensemble / dt
+    return ensemble / dt, {
+        "rep_ms": [round(t * 1e3, 1) for t in times], "ensemble": ensemble,
+    }
 
 
 def _matmul_roofline(precision, m=8192, iters=10):
@@ -244,6 +254,7 @@ def bench_cholesky(n=10240, block=512, iters=15):
     flops = 2 * n * n * 3 + n**3 / 3 + 4 * n * n * 3
     tflops = flops / dt / 1e12
 
+    details = {"rep_ms": [round(t * 1e3, 1) for t in times]}
     # honest roofline pair (cheap: two 8192² matmuls)
     try:
         import jax
@@ -255,9 +266,11 @@ def bench_cholesky(n=10240, block=512, iters=15):
             f"HIGH(bf16x3)={r_high:.1f} TFLOP/s; achieved {tflops:.1f} = "
             f"{100*tflops/r_highest:.0f}% of HIGHEST, {100*tflops/r_high:.0f}% of HIGH"
         )
+        details["roofline_highest_tflops"] = round(r_highest, 1)
+        details["roofline_high_tflops"] = round(r_high, 1)
     except Exception as e:  # roofline is diagnostic only
         log(f"roofline measurement failed: {e}")
-    return tflops
+    return tflops, details
 
 
 def bench_smc(n_particles=8192, n_steps=16, n_traj=100):
@@ -301,7 +314,9 @@ def bench_smc(n_particles=8192, n_steps=16, n_traj=100):
         iters=3,
     )
     log(f"smc per-iter times (ms): {[f'{t*1e3:.0f}' for t in times]}")
-    return n_particles * n_steps / dt
+    return n_particles * n_steps / dt, {
+        "rep_ms": [round(t * 1e3, 1) for t in times], "particles": n_particles,
+    }
 
 
 def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
@@ -346,7 +361,10 @@ def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
     rate = num_chains * num_samples / dt
     log(f"hmc: compile {compile_s:.1f}s, runs (ms) {[f'{t*1e3:.0f}' for t in times]}, "
         f"{num_chains} chains x {num_samples} samples -> {rate:.0f} samples/s")
-    return rate
+    return rate, {
+        "rep_s": [round(t, 2) for t in times],
+        "chains": num_chains, "samples_per_chain": num_samples,
+    }
 
 
 def _enable_compile_cache():
@@ -366,20 +384,22 @@ def _enable_compile_cache():
 
 
 def _run_stage(stage: str) -> None:
-    """Subprocess entry: run ONE device stage, print 'STAGE_RESULT <float>'."""
+    """Subprocess entry: run ONE device stage, print 'STAGE_RESULT <float>'
+    plus 'STAGE_DETAILS <json>' (per-rep times etc. — VERDICT r3 #2b)."""
     _enable_compile_cache()
     if stage == "transport":
         X, dX, S, S1 = make_workload()
-        val = bench_ours(X, dX, S, S1)
+        val, details = bench_ours(X, dX, S, S1)
     elif stage == "cholesky":
-        val = bench_cholesky()
+        val, details = bench_cholesky()
     elif stage == "hmc":
-        val = bench_hmc()
+        val, details = bench_hmc()
     elif stage == "smc":
-        val = bench_smc()
+        val, details = bench_smc()
     else:
         raise SystemExit(f"unknown stage {stage}")
     print(f"STAGE_RESULT {val}", flush=True)
+    print(f"STAGE_DETAILS {json.dumps(details)}", flush=True)
 
 
 def _stage_subprocess(stage: str, timeout_s: float):
@@ -406,10 +426,18 @@ def _stage_subprocess(stage: str, timeout_s: float):
             log((e.stderr if isinstance(e.stderr, str) else e.stderr.decode())[-2000:])
         return None
     sys.stderr.write(proc.stderr)
+    val, details = None, {}
     for line in proc.stdout.splitlines():
         if line.startswith("STAGE_RESULT "):
-            log(f"stage {stage}: done in {time.perf_counter()-t0:.0f}s")
-            return float(line.split()[1])
+            val = float(line.split()[1])
+        elif line.startswith("STAGE_DETAILS "):
+            try:
+                details = json.loads(line[len("STAGE_DETAILS "):])
+            except ValueError:
+                pass
+    if val is not None:
+        log(f"stage {stage}: done in {time.perf_counter()-t0:.0f}s")
+        return val, details
     log(f"stage {stage}: failed (rc={proc.returncode}):\n{proc.stdout[-2000:]}")
     return None
 
@@ -430,9 +458,9 @@ def _stage_with_retry(stage: str, deadline_fn, attempts: int = 2, min_deadline: 
         if attempt:
             log(f"stage {stage}: retrying on a fresh tunnel connection "
                 f"({deadline:.0f}s deadline)")
-        val = _stage_subprocess(stage, deadline)
-        if val is not None:
-            return val
+        out = _stage_subprocess(stage, deadline)
+        if out is not None:
+            return out
     return None
 
 
@@ -442,7 +470,8 @@ def warmup():
     bench: the driver's run then hits warm caches only."""
     for stage in ("cholesky", "transport", "hmc", "smc"):
         t0 = time.perf_counter()
-        val = _stage_subprocess(stage, 1200.0)
+        out = _stage_subprocess(stage, 1200.0)
+        val = out[0] if out else None
         log(f"warmup {stage}: {'ok' if val is not None else 'FAILED'} "
             f"({time.perf_counter()-t0:.0f}s, result={val})")
 
@@ -456,8 +485,25 @@ def main():
 
     X, dX, S, S1 = make_workload()
 
+    # CPU baseline with sanity guard (VERDICT r3 #2a): best-of-5 already
+    # protects against transient stalls; a *persistently* loaded box (the
+    # r3 driver run measured 63.9 traj/s vs the 388-463 nominal) gets one
+    # re-measure after a settle, then falls back to the committed nominal
+    # with a self-diagnosing flag rather than inflating the ratio.
+    baseline_degraded = False
     ref_rate = bench_reference_cpu(X, dX, S, S1)
     log(f"reference (sklearn/numpy, 1 CPU): {ref_rate:.1f} traj/s")
+    if not (NOMINAL_CPU_BASELINE / 2 <= ref_rate <= NOMINAL_CPU_BASELINE * 2):
+        log(f"baseline outside nominal [{NOMINAL_CPU_BASELINE/2:.0f}, "
+            f"{NOMINAL_CPU_BASELINE*2:.0f}] — re-measuring after settle")
+        time.sleep(5.0)
+        ref_rate = bench_reference_cpu(X, dX, S, S1)
+        log(f"reference re-measure: {ref_rate:.1f} traj/s")
+        if not (NOMINAL_CPU_BASELINE / 2 <= ref_rate <= NOMINAL_CPU_BASELINE * 2):
+            baseline_degraded = True
+            log(f"baseline degraded ({ref_rate:.1f} traj/s) — using nominal "
+                f"{NOMINAL_CPU_BASELINE} for vs_baseline")
+            ref_rate = NOMINAL_CPU_BASELINE
 
     # Stage order is budget-defensive: the cheap cholesky gate metric runs
     # BEFORE the transport ensemble (whose compile+first run over the tunnel
@@ -466,24 +512,30 @@ def main():
     # the rest.  Warm-cache stage costs: cholesky ~40s, transport ~60s,
     # hmc ~150s, smc ~40s.
     extras = {}
+    stage_details = {}
     failed = []
 
-    tflops = _stage_with_retry(
+    out = _stage_with_retry(
         "cholesky",
         # always leave ≥290s for transport(+retry); cap a single attempt at
         # 170s so a wedged tunnel costs at most that
         lambda a: min(170.0, remaining() - 290.0),
     )
-    if tflops is not None:
+    tflops = None
+    if out is not None:
+        tflops, stage_details["cholesky"] = out
         log(f"Gram+Cholesky+solve N=10240: {tflops:.2f} TFLOP/s")
         extras["tflops_chol_n10240"] = round(tflops, 2)
 
     # the required headline metric — the lion's share of the budget
-    ours_rate = _stage_with_retry(
+    out = _stage_with_retry(
         "transport",
         lambda a: max(remaining() - 140.0, 60.0) if a == 0 else remaining() - 20.0,
         min_deadline=30.0,
     )
+    ours_rate = None
+    if out is not None:
+        ours_rate, stage_details["transport"] = out
     if ours_rate is None:
         log("FATAL: transport stage failed — no bench line")
         print(
@@ -503,9 +555,10 @@ def main():
     # healthy (the r2 driver run: cholesky died at t=0, transport compiled
     # fine 3 minutes later)
     if tflops is None:
-        tflops = _stage_with_retry("cholesky", lambda a: min(150.0, remaining() - 60.0),
-                                   attempts=1)
-        if tflops is not None:
+        out = _stage_with_retry("cholesky", lambda a: min(150.0, remaining() - 60.0),
+                                attempts=1)
+        if out is not None:
+            tflops, stage_details["cholesky"] = out
             log(f"Gram+Cholesky+solve N=10240: {tflops:.2f} TFLOP/s")
             extras["tflops_chol_n10240"] = round(tflops, 2)
     if tflops is None:
@@ -513,24 +566,30 @@ def main():
 
     # The HMC program's TPU compile is minutes-scale on a cold cache —
     # attempt with whatever headroom remains (warm: ~70s compile + 3 reps).
-    hmc = _stage_with_retry(
+    out = _stage_with_retry(
         "hmc",
         lambda a: remaining() - (60.0 if a == 0 else 10.0),
         min_deadline=80.0,
     )
-    if hmc is not None:
+    if out is not None:
+        hmc, stage_details["hmc"] = out
         extras["hmc_samples_per_s"] = round(hmc, 1)
     else:
         failed.append("hmc")
 
-    smc = _stage_with_retry("smc", lambda a: remaining() - 5.0, attempts=1)
-    if smc is not None:
+    out = _stage_with_retry("smc", lambda a: remaining() - 5.0, attempts=1)
+    if out is not None:
+        smc, stage_details["smc"] = out
         extras["smc_particles_per_s"] = round(smc, 1)
     else:
         failed.append("smc")
 
     if failed:
         extras["stages_failed"] = failed
+    if baseline_degraded:
+        extras["baseline_degraded"] = True
+    extras["cpu_baseline_traj_per_s"] = round(ref_rate, 1)
+    extras["stages"] = stage_details
 
     print(
         json.dumps(

@@ -327,6 +327,60 @@ def stationary_family_params(kernel: Kernel):
     return fam, jnp.asarray(1.0), jnp.atleast_1d(kernel.lengthscale)
 
 
+def small_lml_theta_layout(kernel: Kernel):
+    """(family, n_ls, has_noise, perm) when ``kernel.theta`` maps onto the
+    canonical fused-LML layout ``[log amp, log ℓ…, log noise]``
+    (``ops.fused_lml``); None otherwise.
+
+    ``perm[i]`` is the ``kernel.theta`` index of canonical row ``i`` —
+    leaves flatten in declaration order (Sum/Product: k1 then k2), so the
+    walk below mirrors ``Kernel.theta``'s ``tree_leaves`` ordering.
+    """
+    info = stationary_family_params(kernel)
+    if info is None:
+        return None
+    family = info[0]
+    pos = {}
+
+    def walk(k, off):
+        if isinstance(k, (Sum, Product)):
+            off = walk(k.k1, off)
+            return walk(k.k2, off)
+        if isinstance(k, Constant):
+            if "amp" in pos:
+                raise ValueError("duplicate amplitude")
+            pos["amp"] = (off, 1)
+            return off + 1
+        if isinstance(k, White):
+            if "noise" in pos:
+                raise ValueError("duplicate noise")
+            pos["noise"] = (off, 1)
+            return off + 1
+        if _base_stationary_family(k) is not None:
+            if "ls" in pos:
+                raise ValueError("duplicate lengthscale")
+            n_ls = int(np.size(k.lengthscale))
+            pos["ls"] = (off, n_ls)
+            return off + n_ls
+        raise ValueError(f"unsupported kernel node {type(k).__name__}")
+
+    try:
+        total = walk(kernel, 0)
+    except ValueError:
+        return None
+    if "amp" not in pos or "ls" not in pos:
+        return None
+    n_ls = pos["ls"][1]
+    has_noise = "noise" in pos
+    perm = [pos["amp"][0]]
+    perm += list(range(pos["ls"][0], pos["ls"][0] + n_ls))
+    if has_noise:
+        perm.append(pos["noise"][0])
+    if len(perm) != total:
+        return None
+    return family, n_ls, has_noise, np.asarray(perm)
+
+
 # Route the dense-grid posterior mean through the fused Pallas kernel when
 # the (Nq × N) Gram would be this many elements or more — below it the XLA
 # path's fusion is already fine and the pallas_call overhead dominates.

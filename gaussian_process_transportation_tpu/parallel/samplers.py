@@ -25,6 +25,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 Array = jax.Array
@@ -50,12 +51,13 @@ def _leapfrog(logprob_and_grad, position, momentum, grad, step_size, inv_mass, n
 
 
 def _dual_averaging_init(step_size0):
+    log_step = jnp.log(step_size0)  # scalar, or (E,) for per-chain batched HMC
     return dict(
-        log_step=jnp.log(step_size0),
-        log_step_avg=jnp.log(step_size0),
-        h_avg=jnp.asarray(0.0),
+        log_step=log_step,
+        log_step_avg=log_step,
+        h_avg=jnp.zeros_like(log_step),
         mu=jnp.log(10.0 * step_size0),
-        t=jnp.asarray(0.0),
+        t=jnp.zeros_like(log_step),
     )
 
 
@@ -199,6 +201,115 @@ def hmc(
         step_size=step_size,
         inv_mass=inv_mass,
         mean_accept=jnp.mean(accept_probs),
+    )
+    return samples, info
+
+
+def hmc_batched(
+    lp_and_grad_batched: Callable[[Array], Tuple[Array, Array]],
+    init_positions: Array,
+    key: Array,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    num_leapfrog: int = 16,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> Tuple[Array, dict]:
+    """All-chains-in-ONE-scan HMC with ensemble-last state.
+
+    ``lp_and_grad_batched(q (T, E)) -> (lp (E,), grad (T, E))`` evaluates
+    every chain at once — the caller supplies the batched gradient
+    directly (e.g. the fused Pallas small-LML kernel,
+    ``ops.fused_lml.small_lml_value_grad``), so no AD and no per-chain
+    ``vmap`` ever runs.
+
+    Why not ``vmap(hmc)``: the round-3 cost model showed each vmapped
+    leapfrog step lowers to hundreds of tiny XLA fusions on (n, E) tiles
+    (~13 ms/step at E=256 on v5e-1 — dispatch overhead, not arithmetic).
+    Here one leapfrog step is a handful of (T, E) elementwise ops plus ONE
+    fused kernel call.  Step size and mass adapt per chain (dual averaging
+    / Welford on (E,)-vectors), matching :func:`hmc` chainwise.
+
+    Returns (samples (E, S, T), info).
+    """
+    T, E = init_positions.shape
+
+    def leapfrog(q, p, g, step, inv_mass):
+        def body(carry, _):
+            q, p, g = carry
+            p = p + 0.5 * step[None, :] * g
+            q = q + step[None, :] * inv_mass * p
+            lp, g = lp_and_grad_batched(q)
+            p = p + 0.5 * step[None, :] * g
+            return (q, p, g), lp
+
+        (q, p, g), lps = jax.lax.scan(body, (q, p, g), None, length=num_leapfrog)
+        return q, p, g, lps[-1]
+
+    def one_step(state, key, step, inv_mass):
+        q0, lp0, g0 = state
+        k_mom, k_acc = jax.random.split(key)
+        p0 = jax.random.normal(k_mom, (T, E)) / jnp.sqrt(inv_mass)
+        q, p, g, lp = leapfrog(q0, p0, g0, step, inv_mass)
+        ke0 = 0.5 * jnp.sum(p0 * p0 * inv_mass, axis=0)
+        ke1 = 0.5 * jnp.sum(p * p * inv_mass, axis=0)
+        log_accept = (lp - ke1) - (lp0 - ke0)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
+        accept = jax.random.uniform(k_acc, (E,)) < accept_prob
+        state = (
+            jnp.where(accept[None, :], q, q0),
+            jnp.where(accept, lp, lp0),
+            jnp.where(accept[None, :], g, g0),
+        )
+        return state, accept_prob
+
+    lp0, g0 = lp_and_grad_batched(init_positions)
+    state0 = (init_positions, lp0, g0)
+
+    def warmup_step(carry, key):
+        state, da, mean, m2, count, inv_mass = carry
+        step = jnp.exp(da["log_step"])
+        state, accept_prob = one_step(state, key, step, inv_mass)
+        da = _dual_averaging_update(da, accept_prob, target=target_accept)
+        count += 1.0
+        delta = state[0] - mean
+        mean = mean + delta / count
+        m2 = m2 + delta * (state[0] - mean)
+        return (state, da, mean, m2, count, inv_mass), accept_prob
+
+    da0 = _dual_averaging_init(jnp.full((E,), initial_step_size))
+    carry = (state0, da0, jnp.zeros((T, E)), jnp.zeros((T, E)),
+             jnp.asarray(0.0), jnp.ones((T, E)))
+    half = num_warmup // 2
+    carry, _ = jax.lax.scan(
+        warmup_step, carry, jax.random.split(jax.random.fold_in(key, 0), half)
+    )
+    state, da, mean, m2, count, _ = carry
+    var = m2 / jnp.maximum(count - 1.0, 1.0)
+    inv_mass = jnp.clip(var, 1e-4, 1e4)
+    da = _dual_averaging_init(jnp.exp(da["log_step_avg"]))
+    carry = (state, da, jnp.zeros((T, E)), jnp.zeros((T, E)),
+             jnp.asarray(0.0), inv_mass)
+    carry, _ = jax.lax.scan(
+        warmup_step, carry,
+        jax.random.split(jax.random.fold_in(key, 1), num_warmup - half),
+    )
+    state, da, _, _, _, inv_mass = carry
+    step = jnp.exp(da["log_step_avg"])
+
+    def sample_step(state, key):
+        state, a = one_step(state, key, step, inv_mass)
+        return state, (state[0], a)
+
+    state, (samples, accepts) = jax.lax.scan(
+        sample_step, state, jax.random.split(jax.random.fold_in(key, 2), num_samples)
+    )
+    # (S, T, E) -> (E, S, T)
+    samples = jnp.transpose(samples, (2, 0, 1))
+    info = dict(
+        step_size=step,
+        inv_mass=jnp.transpose(inv_mass, (1, 0)),
+        mean_accept=jnp.mean(accepts, axis=0),
     )
     return samples, info
 
@@ -441,11 +552,31 @@ def sample_gp_posterior(
 
     Chains vmap over the leading axis; with a mesh they shard over 'ens'.
     Returns (samples (C, S, n_theta), diagnostics dict).
+
+    Fast path: for the C·stationary(+White) family at n ≤ 32 with
+    ``algorithm='hmc'``, all chains run ensemble-last in ONE scan
+    (:func:`hmc_batched`) over the fused Pallas LML value+grad kernel
+    (``ops.fused_lml``) — measured ~50× the vmapped-AD path on v5e-1
+    (the per-leapfrog-step cost is XLA fusion dispatch, not arithmetic).
     """
-    from ..models.exact_gp import log_marginal_likelihood
+    from ..models.exact_gp import log_marginal_likelihood, small_lml_theta_layout
 
     bounds = kernel.theta_bounds
     lo, hi = bounds[:, 0], bounds[:, 1]
+
+    Y2 = Y if Y.ndim == 2 else Y[:, None]
+    layout = small_lml_theta_layout(kernel)
+    use_fused = (
+        algorithm == "hmc"
+        and layout is not None
+        and X.shape[0] <= 32
+        and Y2.shape[1] <= 8
+    )
+    if use_fused:
+        return _sample_gp_posterior_fused(
+            kernel, X, Y2, key, layout, lo, hi, num_chains, num_warmup,
+            num_samples, mesh, jitter, **kw,
+        )
 
     def logprob(theta):
         lml = log_marginal_likelihood(kernel.with_theta(theta), X, Y, jitter)
@@ -474,6 +605,93 @@ def sample_gp_posterior(
         )
     )
     samples, info = run(inits, chain_keys)
+    diags = dict(
+        rhat=split_rhat(samples),
+        ess=effective_sample_size(samples),
+        mean_accept=info["mean_accept"],
+    )
+    return samples, diags
+
+
+def _sample_gp_posterior_fused(
+    kernel, X, Y2, key, layout, lo, hi, num_chains, num_warmup, num_samples,
+    mesh, jitter, **kw,
+):
+    """Ensemble-last chains over the fused Pallas LML kernel.
+
+    Same target as the generic path (LML + the soft bound barrier), same
+    init distribution; the barrier gradient is closed-form (softplus' =
+    sigmoid) so the whole logprob_and_grad is AD-free.  With a mesh the
+    lane (chain) axis shards over 'ens' via ``shard_map`` — chains are
+    embarrassingly parallel, so each device runs its lanes independently
+    with a device-folded key.
+    """
+    from ..ops.fused_lml import small_lml_value_grad, small_lml_value_grad_ref
+
+    family, n_ls, has_noise, perm = layout
+    inv_perm = np.argsort(perm)
+    T = lo.shape[0]
+    lo_c = jnp.asarray(lo)[perm][:, None]
+    hi_c = jnp.asarray(hi)[perm][:, None]
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def lp_and_grad(theta_te):
+        fn = small_lml_value_grad if on_tpu else small_lml_value_grad_ref
+        val, grad = fn(
+            X, Y2, theta_te, family=family, n_ls=n_ls, has_noise=has_noise,
+            jitter=jitter,
+        )
+        z_lo = (theta_te - lo_c) * 20.0
+        z_hi = (theta_te - hi_c) * 20.0
+        barrier = jnp.sum(jax.nn.softplus(-z_lo) + jax.nn.softplus(z_hi), axis=0)
+        d_barrier = 20.0 * (jax.nn.sigmoid(z_hi) - jax.nn.sigmoid(-z_lo))
+        lp = val - 100.0 * barrier
+        g = grad - 100.0 * d_barrier
+        bad = ~jnp.isfinite(lp)
+        lp = jnp.where(bad, -1e10, lp)
+        g = jnp.where(jnp.isfinite(g) & ~bad[None, :], g, 0.0)
+        return lp, g
+
+    k_init, k_run = jax.random.split(key)
+    u = jax.random.uniform(k_init, (num_chains, T))
+    inits = lo + u * (hi - lo) * 0.5 + 0.25 * (hi - lo)  # central half of the box
+    inits_te = jnp.transpose(inits[:, perm], (1, 0))  # (T, E) canonical order
+
+    def run_local(q0_te, k):
+        return hmc_batched(
+            lp_and_grad, q0_te, k, num_warmup=num_warmup,
+            num_samples=num_samples, **kw,
+        )
+
+    if mesh is None:
+        samples_c, info = jax.jit(run_local)(inits_te, k_run)
+    else:
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+        from .mesh import global_put
+
+        inits_te = global_put(inits_te, NamedSharding(mesh, P(None, "ens")))
+
+        def shard_body(q0_te, k):
+            k = jax.random.fold_in(k[0], jax.lax.axis_index("ens"))
+            return run_local(q0_te, k)
+
+        keys = jax.random.split(k_run, mesh.shape["ens"])
+        samples_c, info = jax.jit(
+            shard_map(
+                shard_body, mesh=mesh,
+                in_specs=(P(None, "ens"), P("ens")),
+                out_specs=(P("ens"), {"step_size": P("ens"),
+                                      "inv_mass": P("ens"),
+                                      "mean_accept": P("ens")}),
+                check_rep=False,
+            )
+        )(inits_te, keys)
+
+    samples = samples_c[:, :, inv_perm]  # back to kernel.theta ordering
     diags = dict(
         rhat=split_rhat(samples),
         ess=effective_sample_size(samples),

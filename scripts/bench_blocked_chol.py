@@ -22,7 +22,10 @@ PREC_NAME = sys.argv[3] if len(sys.argv) > 3 else "highest"
 PREC = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT}[PREC_NAME]
 FAMILY = sys.argv[4] if len(sys.argv) > 4 else "rbf"
-ITERS = int(os.environ.get("ITERS", "5"))
+# 15 (not 5): at ITERS=5 per-rep fixed costs under-amortize over the
+# tunnel and inflate ms/iter ~25% (the retracted 18.0 TFLOP/s Matern
+# figure was exactly this)
+ITERS = int(os.environ.get("ITERS", "15"))
 
 jax.config.update("jax_default_matmul_precision", "highest")
 

@@ -56,10 +56,12 @@ for family in STATIONARY_FAMILIES:
             out = build(X, ls)
         _ = np.asarray(out)
         times.append((time.perf_counter() - t0) / ITERS)
-    best_ms = min(times) * 1e3
-    nel = (N * N + N * BLOCK) / 2  # lower-triangle panel elements (approx)
+    best_ms = float(np.median(times)) * 1e3  # median, matching bench_blocked_chol
+    # exact padded panel element count: sum of (Np - k*B)*B over panels
+    Np = -(-N // BLOCK) * BLOCK
+    nel = sum((Np - k * BLOCK) * BLOCK for k in range(Np // BLOCK))
     print(
         f"{family:9s}: first={t_first:6.1f}s  per-build={best_ms:7.3f} ms "
-        f"({nel / (min(times)) / 1e9:6.1f} Gelem/s)",
+        f"({nel / (best_ms / 1e3) / 1e9:6.1f} Gelem/s)",
         flush=True,
     )

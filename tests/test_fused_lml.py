@@ -1,0 +1,167 @@
+"""Goldens for the fused small-N LML value+grad kernel (ops/fused_lml.py)
+and the ensemble-last batched HMC path that consumes it.
+
+The canonical golden is per-chain ``jax.value_and_grad`` of the existing
+``models.exact_gp.log_marginal_likelihood`` (itself golden-checked against
+sklearn) — the fused kernel must reproduce value AND gradient for every
+chain, every family, isotropic and ARD lengthscales, with and without a
+White term.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_process_transportation_tpu import kernels as K
+from gaussian_process_transportation_tpu.models.exact_gp import (
+    log_marginal_likelihood,
+    small_lml_theta_layout,
+)
+from gaussian_process_transportation_tpu.ops.fused_lml import (
+    small_lml_value_grad,
+    small_lml_value_grad_ref,
+)
+
+
+def _workload(n=20, D=2, p=1, seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.standard_normal((n, D)).astype(np.float32))
+    Y = jnp.asarray(
+        (np.sin(np.asarray(X)[:, :1]) + 0.1 * rng.standard_normal((n, p))).astype(
+            np.float32
+        )
+    )
+    return X, Y
+
+
+def _thetas(kernel, E, seed=1):
+    rng = np.random.default_rng(seed)
+    T = kernel.theta.shape[0]
+    return jnp.asarray(rng.uniform(-1.0, 1.0, size=(E, T)).astype(np.float32))
+
+
+def _adg_golden(kernel, X, Y, thetas, jitter):
+    f = lambda th: log_marginal_likelihood(kernel.with_theta(th), X, Y, jitter)
+    vals, grads = jax.vmap(jax.value_and_grad(f))(thetas.astype(jnp.float64))
+    return np.asarray(vals), np.asarray(grads)
+
+
+CASES = [
+    ("rbf-ard", lambda: K.Constant(2.0) * K.RBF(jnp.ones(2)) + K.White(0.05), 2),
+    ("rbf-iso", lambda: K.Constant(2.0) * K.RBF(0.7) + K.White(0.05), 2),
+    ("matern52", lambda: K.Constant(1.5) * K.Matern(jnp.ones(2), nu=2.5) + K.White(0.02), 2),
+    ("matern32-no-noise", lambda: K.Constant(1.0) * K.Matern(0.8, nu=1.5), 3),
+]
+
+
+@pytest.mark.parametrize("name,mk,D", CASES, ids=[c[0] for c in CASES])
+def test_fused_ref_matches_per_chain_ad(name, mk, D):
+    kernel = mk()
+    X, Y = _workload(n=17, D=D)
+    layout = small_lml_theta_layout(kernel)
+    assert layout is not None
+    family, n_ls, has_noise, perm = layout
+    thetas = _thetas(kernel, E=11)
+    jitter = 1e-8
+
+    vals_g, grads_g = _adg_golden(kernel, X, Y, thetas, jitter)
+    te = jnp.transpose(thetas[:, perm], (1, 0))
+    vals, grads = small_lml_value_grad_ref(
+        X, Y, te, family=family, n_ls=n_ls, has_noise=has_noise, jitter=jitter
+    )
+    grads_theta = np.asarray(grads).T[:, np.argsort(perm)]
+    scale = np.maximum(np.abs(vals_g), 1.0)
+    np.testing.assert_allclose(np.asarray(vals), vals_g, atol=2e-3 * scale.max())
+    gs = np.maximum(np.abs(grads_g).max(), 1.0)
+    np.testing.assert_allclose(grads_theta, grads_g, atol=3e-3 * gs)
+
+
+@pytest.mark.parametrize("name,mk,D", CASES, ids=[c[0] for c in CASES])
+def test_fused_pallas_interpret_matches_ref(name, mk, D):
+    kernel = mk()
+    X, Y = _workload(n=12, D=D)
+    family, n_ls, has_noise, perm = small_lml_theta_layout(kernel)
+    thetas = _thetas(kernel, E=5)
+    te = jnp.transpose(thetas[:, perm], (1, 0))
+    v_ref, g_ref = small_lml_value_grad_ref(
+        X, Y, te, family=family, n_ls=n_ls, has_noise=has_noise, jitter=1e-8
+    )
+    v_k, g_k = small_lml_value_grad(
+        X, Y, te, family=family, n_ls=n_ls, has_noise=has_noise, jitter=1e-8,
+        eb=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_multioutput_and_padding():
+    kernel = K.Constant(1.0) * K.RBF(jnp.ones(2)) + K.White(0.1)
+    X, Y = _workload(n=9, D=2, p=3)
+    family, n_ls, has_noise, perm = small_lml_theta_layout(kernel)
+    thetas = _thetas(kernel, E=7)  # E=7 forces lane padding at eb=8
+    vals_g, grads_g = _adg_golden(kernel, X, Y, thetas, 1e-8)
+    te = jnp.transpose(thetas[:, perm], (1, 0))
+    v_k, g_k = small_lml_value_grad(
+        X, Y, te, family=family, n_ls=n_ls, has_noise=has_noise, jitter=1e-8,
+        eb=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(v_k), vals_g, atol=2e-3 * max(1, np.abs(vals_g).max()))
+    gs = max(1.0, np.abs(grads_g).max())
+    np.testing.assert_allclose(
+        np.asarray(g_k).T[:, np.argsort(perm)], grads_g, atol=3e-3 * gs
+    )
+
+
+def test_theta_layout_detection():
+    k1 = K.Constant(1.0) * K.RBF(jnp.ones(2)) + K.White(0.01)
+    fam, n_ls, has_noise, perm = small_lml_theta_layout(k1)
+    assert fam == "rbf" and n_ls == 2 and has_noise
+    np.testing.assert_array_equal(perm, [0, 1, 2, 3])
+    # swapped Sum order
+    k2 = K.White(0.01) + K.Constant(1.0) * K.RBF(0.5)
+    fam, n_ls, has_noise, perm = small_lml_theta_layout(k2)
+    assert fam == "rbf" and n_ls == 1 and has_noise
+    np.testing.assert_array_equal(perm, [1, 2, 0])
+    # unsupported: two stationary terms
+    assert small_lml_theta_layout(K.RBF(1.0) + K.RBF(2.0)) is None
+
+
+def test_hmc_batched_statistics_match_vmapped_hmc():
+    """The batched sampler must draw from the same posterior as vmap(hmc):
+    compare chain moments and R̂ on the bench workload target."""
+    from gaussian_process_transportation_tpu.parallel import samplers
+
+    kernel = K.Constant(1.0) * K.RBF(jnp.ones(2)) + K.White(0.01)
+    X, Y = _workload(n=14, D=2)
+    common = dict(num_chains=16, num_warmup=150, num_samples=150)
+
+    s_fused, d_fused = samplers.sample_gp_posterior(
+        kernel, X, Y, jax.random.PRNGKey(0), algorithm="hmc", **common
+    )
+    # force the generic vmapped path by an unsupported-structure wrapper
+    s_ref, d_ref = samplers.sample_gp_posterior(
+        kernel, X, Y, jax.random.PRNGKey(1), algorithm="nuts", **common
+    )
+    assert s_fused.shape == (16, 150, 4)
+    assert np.isfinite(np.asarray(s_fused)).all()
+    assert float(np.max(np.asarray(d_fused["rhat"]))) < 1.2
+    # posterior moments agree between samplers within MC error
+    m_f = np.asarray(s_fused).reshape(-1, 4).mean(0)
+    m_r = np.asarray(s_ref).reshape(-1, 4).mean(0)
+    sd = np.asarray(s_ref).reshape(-1, 4).std(0)
+    assert np.all(np.abs(m_f - m_r) < 0.8 * sd + 0.3)
+
+
+def test_hmc_batched_fused_on_mesh():
+    from gaussian_process_transportation_tpu.parallel import samplers
+    from gaussian_process_transportation_tpu.parallel.mesh import make_mesh
+
+    kernel = K.Constant(1.0) * K.RBF(jnp.ones(2)) + K.White(0.01)
+    X, Y = _workload(n=10, D=2)
+    mesh = make_mesh(8, 1)
+    s, d = samplers.sample_gp_posterior(
+        kernel, X, Y, jax.random.PRNGKey(0),
+        num_chains=16, num_warmup=40, num_samples=40, mesh=mesh,
+    )
+    assert s.shape == (16, 40, 4)
+    assert np.isfinite(np.asarray(s)).all()
