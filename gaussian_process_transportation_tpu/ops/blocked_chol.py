@@ -174,7 +174,92 @@ def _factor_invert_base_r2(D: Array) -> Tuple[Array, Array]:
     return LT.T, X
 
 
-def _panel_kernel(a_ref, l_ref, linv_ref):
+def _factor_invert_base_r4(D: Array) -> Tuple[Array, Array]:
+    """Rank-4 variant: each sequential step eliminates FOUR columns via a
+    4×4 diagonal pivot (scalar Cholesky), quartering the loop length.
+
+    Rationale (VERDICT r3 #6): the serial per-step cost is dominated by
+    cross-iteration dependency latency, so rank-2 bought 5.7 → 4.7 ms on
+    the N=10240 panel chain; per-step cost grows ~1.6× per pivot-rank
+    doubling, so rank-4 should net again.  Exactness is pinned against the
+    rank-1 loop in tests/test_blocked_chol.py.
+    """
+    SB = D.shape[0]
+    assert SB % 4 == 0
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)
+    eye = jnp.where(row_iota == col_iota, 1.0, 0.0).astype(D.dtype)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SB, 1), 0)
+
+    def step(t, carry):
+        M, LT, X = carry
+        j0 = 4 * t
+        js = [j0, j0 + 1, j0 + 2, j0 + 3]
+        # pivot rows/columns of the current trailing matrix (M stays
+        # exactly symmetric under the rank-4 update, so rows double as
+        # columns without a lane<->sublane transpose)
+        rows = [jnp.sum(jnp.where(row_iota == j, M, 0.0), axis=0, keepdims=True)
+                for j in js]
+        colsv = [jnp.sum(jnp.where(col_iota == j, M, 0.0), axis=1, keepdims=True)
+                 for j in js]
+        p = [[jnp.sum(jnp.where(lane == js[k], rows[i], 0.0))
+              for k in range(i + 1)] for i in range(4)]
+        # scalar Cholesky of the 4x4 pivot block
+        inv = [None] * 4
+        l = [[0.0] * 4 for _ in range(4)]
+        inv[0] = jax.lax.rsqrt(p[0][0])
+        l[1][0] = p[1][0] * inv[0]
+        l[2][0] = p[2][0] * inv[0]
+        l[3][0] = p[3][0] * inv[0]
+        inv[1] = jax.lax.rsqrt(p[1][1] - l[1][0] * l[1][0])
+        l[2][1] = (p[2][1] - l[2][0] * l[1][0]) * inv[1]
+        l[3][1] = (p[3][1] - l[3][0] * l[1][0]) * inv[1]
+        inv[2] = jax.lax.rsqrt(p[2][2] - l[2][0] * l[2][0] - l[2][1] * l[2][1])
+        l[3][2] = (p[3][2] - l[3][0] * l[2][0] - l[3][1] * l[2][1]) * inv[2]
+        inv[3] = jax.lax.rsqrt(
+            p[3][3] - l[3][0] * l[3][0] - l[3][1] * l[3][1] - l[3][2] * l[3][2]
+        )
+        # L columns j0..j0+3 as row vectors (c, masked lane >= j) and
+        # column vectors (cT, masked sublane >= j) — same recurrence as
+        # two chained rank-2 steps, reassociated
+        c, cT = [None] * 4, [None] * 4
+        for k in range(4):
+            rk, ck = rows[k], colsv[k]
+            for m in range(k):
+                rk = rk - l[k][m] * c[m]
+                ck = ck - l[k][m] * cT[m]
+            c[k] = jnp.where(lane >= js[k], rk * inv[k], 0.0)
+            cT[k] = jnp.where(sub >= js[k], ck * inv[k], 0.0)
+        # rank-4 trailing update in one fused pass
+        M = M - cT[0] * c[0] - cT[1] * c[1] - cT[2] * c[2] - cT[3] * c[3]
+        for k in range(4):
+            LT = jnp.where(row_iota == js[k], c[k], LT)
+        # Gauss-Jordan on the identity, four coupled rows
+        xr = [None] * 4
+        for k in range(4):
+            r = jnp.sum(jnp.where(row_iota == js[k], X, 0.0), axis=0, keepdims=True)
+            for m in range(k):
+                r = r - l[k][m] * xr[m]
+            xr[k] = r * inv[k]
+        below = [jnp.where(sub > js[k], cT[k], 0.0) for k in range(4)]
+        X = X - below[0] * xr[0] - below[1] * xr[1] - below[2] * xr[2] - below[3] * xr[3]
+        for k in range(4):
+            X = jnp.where(row_iota == js[k], xr[k], X)
+        return M, LT, X
+
+    _, LT, X = jax.lax.fori_loop(0, SB // 4, step, (D, jnp.zeros_like(D), eye))
+    return LT.T, X
+
+
+# Default sequential-pivot rank for the panel kernel's diagonal sub-block
+# factorization; measured on v5e-1 at N=10240 (scripts/bench_blocked_chol.py).
+_PIVOT_BASES = {1: _factor_invert_base, 2: _factor_invert_base_r2,
+                4: _factor_invert_base_r4}
+_DEFAULT_PIVOT_RANK = 2
+
+
+def _panel_kernel(a_ref, l_ref, linv_ref, *, pivot_rank=_DEFAULT_PIVOT_RANK):
     """Factor one (B, B) SPD block: L (lower Cholesky) and L⁻¹.
 
     B = NB·128; the Python loop over NB sub-panels is unrolled at trace
@@ -182,6 +267,7 @@ def _panel_kernel(a_ref, l_ref, linv_ref):
     matmuls over the already-factored columns, then factored+inverted by
     the sequential VPU loop above.
     """
+    _factor_base = _PIVOT_BASES[pivot_rank]
     B = a_ref.shape[0]
     NB = B // _SB
     A = a_ref[:]
@@ -195,7 +281,7 @@ def _panel_kernel(a_ref, l_ref, linv_ref):
         D = A[sl, sl]
         for m in range(s):
             D = D - _dot(Lb[s][m], Lb[s][m].T, _HIGHEST)
-        Ld, Xs = _factor_invert_base_r2(D)
+        Ld, Xs = _factor_base(D)
         Lb[s][s] = Ld
         Xd[s] = Xs
         for i in range(s + 1, NB):
@@ -225,15 +311,23 @@ def _panel_kernel(a_ref, l_ref, linv_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def factor_panel(A: Array, interpret: Optional[bool] = None) -> Tuple[Array, Array]:
+@functools.partial(jax.jit, static_argnames=("interpret", "pivot_rank"))
+def factor_panel(
+    A: Array,
+    interpret: Optional[bool] = None,
+    pivot_rank: Optional[int] = None,
+) -> Tuple[Array, Array]:
     """(L, L⁻¹) of one (B, B) SPD block, B a multiple of 128.
 
     One Pallas kernel — the whole panel factorization runs on-core with
-    zero dispatch overhead between its B column steps.
+    zero dispatch overhead between its B column steps.  ``pivot_rank``
+    (1/2/4) selects the sequential elimination width; default measured
+    best on v5e-1.
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if pivot_rank is None:
+        pivot_rank = _DEFAULT_PIVOT_RANK
     B = A.shape[0]
     if B % _SB:
         raise ValueError(f"panel size {B} must be a multiple of {_SB}")
@@ -243,7 +337,7 @@ def factor_panel(A: Array, interpret: Optional[bool] = None) -> Tuple[Array, Arr
         jax.ShapeDtypeStruct((B, B), jnp.float32),
     )
     return pl.pallas_call(
-        _panel_kernel,
+        functools.partial(_panel_kernel, pivot_rank=pivot_rank),
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(
@@ -378,6 +472,7 @@ def cholesky_panels(
     n: int,
     precision=_HIGHEST,
     interpret: Optional[bool] = None,
+    pivot_rank: Optional[int] = None,
 ) -> BlockedCholesky:
     """Right-looking blocked Cholesky over lower-triangle column panels.
 
@@ -395,7 +490,7 @@ def cholesky_panels(
     linvs: list = [None] * P
     for k in range(P):
         pk = work[k]
-        Lkk, Linv = factor_panel(pk[:B], interpret=interpret)
+        Lkk, Linv = factor_panel(pk[:B], interpret=interpret, pivot_rank=pivot_rank)
         linvs[k] = Linv
         if pk.shape[0] > B:
             below = _dot(pk[B:], Linv.T, precision)  # TRSM as GEMM
@@ -541,6 +636,7 @@ def gram_cholesky_solve(
     interpret: Optional[bool] = None,
     refine_iters: int = 1,
     family: str = "rbf",
+    pivot_rank: Optional[int] = None,
 ) -> Tuple[Array, BlockedCholesky]:
     """Fused K=k(X,X)+σ²I → blocked Cholesky → α = K⁻¹Y.
 
@@ -557,7 +653,7 @@ def gram_cholesky_solve(
     panels, n = stationary_gram_panels(
         X, lengthscale, amplitude, noise, block, precision, family
     )
-    chol = cholesky_panels(panels, n, precision, interpret)
+    chol = cholesky_panels(panels, n, precision, interpret, pivot_rank)
     squeeze = Y.ndim == 1
     Y2 = Y[:, None] if squeeze else Y
     alpha = chol.solve(Y2, precision)

@@ -687,7 +687,7 @@ def _sample_gp_posterior_fused(
                 out_specs=(P("ens"), {"step_size": P("ens"),
                                       "inv_mass": P("ens"),
                                       "mean_accept": P("ens")}),
-                check_rep=False,
+                check_vma=False,
             )
         )(inits_te, keys)
 

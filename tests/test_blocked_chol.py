@@ -47,6 +47,30 @@ def test_rank2_base_matches_rank1_base():
     ).max()
 
 
+def test_rank4_base_matches_rank1_base():
+    """The rank-4 Gauss-Jordan step is the same math as four rank-1 steps
+    reassociated — bitwise-close on the same input (VERDICT r3 #6)."""
+    K = _spd(128)
+    Kj = jnp.asarray(K)
+    L1, X1 = bc._factor_invert_base(Kj)
+    L4, X4 = bc._factor_invert_base_r4(Kj)
+    assert np.abs(np.asarray(L1) - np.asarray(L4)).max() < 1e-5 * np.abs(
+        np.asarray(L1)
+    ).max()
+    assert np.abs(np.asarray(X1) - np.asarray(X4)).max() < 1e-5 * np.abs(
+        np.asarray(X1)
+    ).max()
+
+
+def test_factor_panel_pivot_rank4_matches_lapack():
+    K = _spd(256)
+    L, Linv = bc.factor_panel(jnp.asarray(K), interpret=True, pivot_rank=4)
+    L64 = np.linalg.cholesky(K.astype(np.float64))
+    Linv64 = np.linalg.inv(L64)
+    assert np.abs(np.asarray(L) - L64).max() / np.abs(L64).max() < 5e-6
+    assert np.abs(np.asarray(Linv) - Linv64).max() / np.abs(Linv64).max() < 5e-6
+
+
 @pytest.mark.parametrize("n,B", [(384, 128), (500, 128), (300, 256)])
 def test_blocked_cholesky_matches_dense(n, B):
     K = _spd(n)
