@@ -95,9 +95,13 @@ def _cho_solve_any(gp: ExactGP, B: Array) -> Array:
 
 def _eff_jitter(dtype, jitter: float) -> float:
     """float32 Cholesky of dense-curve Gram matrices needs ~1e-6 diagonal
-    jitter even when a White term exists; float64 keeps the request."""
+    jitter even when a White term exists; float64 keeps the request.
+    ``jitter`` may be a traced scalar (e.g. a jitted caller inlined under
+    an outer scan) — use jnp.maximum then."""
     if jnp.dtype(dtype) == jnp.float32:
-        return max(jitter, 1e-6)
+        if isinstance(jitter, (int, float)):
+            return max(jitter, 1e-6)
+        return jnp.maximum(jitter, 1e-6)
     return jitter
 
 
@@ -169,9 +173,16 @@ def condition_blocked(
 
     fam, amp, ls = stationary_family_params(kernel)
     noise = white_noise_level(kernel) + _eff_jitter(X.dtype, jitter)
+    # HIGHEST, not HIGH: at GP-realistic conditioning (κ ≳ 1e5, e.g. the
+    # reference's N=2500 3D surfaces with small White noise) the bf16x3
+    # factor's iterative refinement DIVERGES (measured α rel err 0.9-13 at
+    # HIGH vs 4e-3 at HIGHEST, scripts/bench_ensemble_3d.py); the GEMM
+    # speedup is not worth a silent blow-up in the production model path.
+    # bench.py's cholesky stage still requests HIGH explicitly on its
+    # better-conditioned workload (validated 1e-3 vs f64 there).
     alpha, ch = gram_cholesky_solve(
         X, Y2, ls, amp, noise, block=block,
-        precision=jax.lax.Precision.HIGH, interpret=interpret, family=fam,
+        precision=jax.lax.Precision.HIGHEST, interpret=interpret, family=fam,
     )
     K_inv = None
     if cache_k_inv:
@@ -421,6 +432,25 @@ def predict(
         return fused_gp_predict_mean(
             x, gp.X, gp.alpha, ls, amp, interpret=False, family=fam
         ).astype(gp.alpha.dtype)
+    if (
+        params is not None
+        and return_std
+        and gp.K_inv is not None
+        and gp.X.shape[0] <= 4096  # (tile_k + tile_q, N) VMEM working set
+    ):
+        from ..ops.pallas_gram import fused_gp_predict_mean_var
+
+        fam, amp, ls = params
+        prior = amp + white_noise_level(gp.kernel)
+        mean, var = fused_gp_predict_mean_var(
+            x, gp.X, gp.alpha, gp.K_inv, ls, amp, prior,
+            interpret=False, family=fam,
+        )
+        mean = mean.astype(gp.alpha.dtype)
+        std = jnp.sqrt(var).astype(gp.alpha.dtype)
+        if epistemic_only:
+            std = std - jnp.sqrt(white_noise_level(gp.kernel))
+        return mean, jnp.broadcast_to(std[:, None], mean.shape)
 
     k_star = gp.kernel(x, gp.X)  # cross-cov: White contributes zeros
     mean = jnp.dot(k_star, gp.alpha, precision=_HI)

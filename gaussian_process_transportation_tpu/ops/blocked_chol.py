@@ -256,7 +256,10 @@ def _factor_invert_base_r4(D: Array) -> Tuple[Array, Array]:
 # factorization; measured on v5e-1 at N=10240 (scripts/bench_blocked_chol.py).
 _PIVOT_BASES = {1: _factor_invert_base, 2: _factor_invert_base_r2,
                 4: _factor_invert_base_r4}
-_DEFAULT_PIVOT_RANK = 2
+# Same-session A/B at N=10240/HIGH on v5e-1 (scripts/bench_blocked_chol.py):
+# rank-2 = 14.1 ms (25.58 TFLOP/s), rank-4 = 13.9 ms (25.95 TFLOP/s),
+# alpha rel err 1.03e-3 vs f64 unchanged.
+_DEFAULT_PIVOT_RANK = 4
 
 
 def _panel_kernel(a_ref, l_ref, linv_ref, *, pivot_rank=_DEFAULT_PIVOT_RANK):

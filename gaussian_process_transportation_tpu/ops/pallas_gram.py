@@ -120,6 +120,126 @@ def fused_gp_predict_mean(
     return mean[:Nq]
 
 
+def _mean_var_kernel(
+    xq_ref, xT_ref, alpha_ref, kinv_ref, xTfull_ref, amp_ref, prior_ref,
+    mean_ref, var_ref, w_ref, *, family: str, tile_k: int,
+):
+    """Grid step (i, a): query tile i × training chunk a.
+
+    Accumulates mean += k·α[a] and the whitened row W += k·K⁻¹[a, :]
+    (W: (TM, N) VMEM scratch).  On the LAST a-chunk the variance
+    var = prior − Σ_b W[:, b]·k[:, b] is closed with a second unrolled
+    pass over the chunks, recomputing each k tile in VMEM — the (Nq, N)
+    Gram is built twice but never touches HBM (VERDICT r3 #5).
+    """
+    from .blocked_chol import stationary_from_sqdist
+
+    a = pl.program_id(1)
+    n_a = pl.num_programs(1)
+    D = xq_ref.shape[1]
+    TM = xq_ref.shape[0]
+
+    @pl.when(a == 0)
+    def _():
+        mean_ref[:] = jnp.zeros_like(mean_ref)
+        w_ref[:] = jnp.zeros_like(w_ref)
+
+    d2 = jnp.zeros((TM, xT_ref.shape[1]), jnp.float32)
+    for d in range(D):
+        diff = xq_ref[:, d : d + 1] - xT_ref[d : d + 1, :]
+        d2 = d2 + diff * diff
+    k = amp_ref[0, 0] * stationary_from_sqdist(d2, family)  # (TM, TK)
+    hi = jax.lax.Precision.HIGHEST
+    mean_ref[:] += jnp.dot(k, alpha_ref[:], preferred_element_type=jnp.float32,
+                           precision=hi)
+    w_ref[:] += jnp.dot(k, kinv_ref[:], preferred_element_type=jnp.float32,
+                        precision=hi)
+
+    @pl.when(a == n_a - 1)
+    def _():
+        acc = jnp.zeros((TM, 1), jnp.float32)
+        for b in range(n_a):
+            sl = slice(b * tile_k, (b + 1) * tile_k)
+            d2b = jnp.zeros((TM, tile_k), jnp.float32)
+            for d in range(D):
+                diff = xq_ref[:, d : d + 1] - xTfull_ref[d : d + 1, sl]
+                d2b = d2b + diff * diff
+            kb = amp_ref[0, 0] * stationary_from_sqdist(d2b, family)
+            acc = acc + jnp.sum(w_ref[:, sl] * kb, axis=1, keepdims=True)
+        var_ref[:] = jnp.maximum(prior_ref[0, 0] - acc, 0.0)
+
+
+def fused_gp_predict_mean_var(
+    Xq: Array,
+    X: Array,
+    alpha: Array,
+    K_inv: Array,
+    lengthscale: Array,
+    amplitude,
+    prior_diag,
+    tile_q: int = 256,
+    tile_k: int = 512,
+    interpret: Optional[bool] = None,
+    family: str = "rbf",
+) -> Tuple[Array, Array]:
+    """Posterior mean AND variance on a dense grid, Gram never in HBM.
+
+    mean = k* α;  var = prior − diag(k* K⁻¹ k*ᵀ), clamped at 0 — the
+    reference's 100×100-grid *uncertainty* fields (``plot_utils.py:10-24``)
+    fused the same way as the mean path.  Requires the dense K⁻¹ (cache it
+    with ``condition(..., cache_k_inv=True)``); VMEM holds a
+    (tile_k + tile_q, N) working set, so N ≲ 4096 at the default tiles —
+    callers fall back to the XLA path above that.
+    Returns (mean (Nq, P), var (Nq,)) float32.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    Nq, D = Xq.shape
+    N, P = alpha.shape
+    dtype = jnp.float32
+
+    ls = jnp.atleast_1d(jnp.asarray(lengthscale)).astype(dtype)
+    Xq_s = (Xq / ls).astype(dtype)
+    X_s = (X / ls).astype(dtype)
+
+    Nq_p = _round_up(max(Nq, 8), tile_q)
+    N_p = _round_up(max(N, 8), tile_k)
+    Xq_pad = jnp.zeros((Nq_p, D), dtype).at[:Nq].set(Xq_s)
+    XT_pad = jnp.full((D, N_p), 1e6, dtype).at[:, :N].set(X_s.T)
+    alpha_pad = jnp.zeros((N_p, P), dtype).at[:N].set(jnp.asarray(alpha, dtype))
+    kinv_pad = jnp.zeros((N_p, N_p), dtype).at[:N, :N].set(
+        jnp.asarray(K_inv, dtype)
+    )
+    amp = jnp.asarray([[amplitude]], dtype)
+    prior = jnp.asarray([[prior_diag]], dtype)
+
+    grid = (Nq_p // tile_q, N_p // tile_k)
+    mean, var = pl.pallas_call(
+        functools.partial(_mean_var_kernel, family=family, tile_k=tile_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, D), lambda i, a: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile_k), lambda i, a: (0, a), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, P), lambda i, a: (a, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, N_p), lambda i, a: (a, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, N_p), lambda i, a: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, a: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, a: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, P), lambda i, a: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, a: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Nq_p, P), dtype),
+            jax.ShapeDtypeStruct((Nq_p, 1), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_q, N_p), dtype)],
+        interpret=interpret,
+    )(Xq_pad, XT_pad, alpha_pad, kinv_pad, XT_pad, amp, prior)
+    return mean[:Nq], var[:Nq, 0]
+
+
 def stationary_gram(
     X: Array,
     Z: Array,

@@ -247,12 +247,38 @@ def fit_and_transport_batched(
     targets = jnp.asarray(target_distributions)
     n, d = source_distribution.shape
     if n > 64:
-        return jax.vmap(
-            lambda tgt: fit_and_transport(
+        # Medium/large-N members (the reference's 3D workload: 2,500-point
+        # distributions, example/3D/surface_generalization_3D.py:50-51):
+        # scan over members, NOT vmap — vmapped dense chol custom calls
+        # serialize AND tile-pad (measured v5e-1 at N=2500, E=16:
+        # vmap-dense 128.8 ms/ensemble, scan-dense 91.2, scan over the
+        # Pallas-panel blocked path 39.1 at identical f64-golden accuracy
+        # [HIGHEST precision]; scripts/bench_ensemble_3d.py).
+        use_blocked = (
+            gp_core.stationary_family_params(kernel) is not None and n >= 768
+        )
+
+        def member(tgt):
+            if use_blocked:
+                aff = affine_core.fit(
+                    source_distribution, tgt,
+                    do_scale=do_scale, do_rotation=do_rotation,
+                )
+                src_al = affine_core.predict(aff, source_distribution)
+                gp = gp_core.condition_blocked(
+                    kernel, src_al, tgt - src_al, jitter=jitter, block=512
+                )
+                return transport_apply(aff, gp, traj, delta)
+            return fit_and_transport(
                 kernel, source_distribution, tgt, traj, delta,
                 do_scale=do_scale, do_rotation=do_rotation, jitter=jitter,
             )
-        )(targets)
+
+        def step(_, tgt):
+            return None, member(tgt)
+
+        _, res = jax.lax.scan(step, None, targets)
+        return res
 
     aff_b = affine_core.fit_batched(
         source_distribution, targets, do_scale=do_scale, do_rotation=do_rotation

@@ -26,6 +26,9 @@ FAMILY = sys.argv[4] if len(sys.argv) > 4 else "rbf"
 # tunnel and inflate ms/iter ~25% (the retracted 18.0 TFLOP/s Matern
 # figure was exactly this)
 ITERS = int(os.environ.get("ITERS", "15"))
+# sequential pivot rank of the panel kernel (1/2/4); empty = package default
+PIVOT = os.environ.get("PIVOT_RANK")
+PIVOT = int(PIVOT) if PIVOT else None
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
@@ -72,7 +75,7 @@ lsd = jnp.asarray(ls)
 
 fused = jax.jit(lambda Xs, Ys: gram_cholesky_solve(
     Xs, Ys, lsd, amp, noise, block=BLOCK, precision=PREC, interpret=False,
-    family=FAMILY)[0])
+    family=FAMILY, pivot_rank=PIVOT)[0])
 
 t0 = time.perf_counter()
 alpha = np.asarray(fused(Xd, Yd))

@@ -57,6 +57,32 @@ def test_fused_predict_mean_agrees_with_exact_gp():
     np.testing.assert_allclose(got, expected, atol=2e-4)
 
 
+@pytest.mark.parametrize("family,nu", [("rbf", None), ("matern52", 2.5)])
+def test_fused_predict_mean_var_matches_exact_gp(family, nu):
+    """Fused mean+variance (VERDICT r3 #5) vs the XLA predict path, both
+    K_inv-routed, on a grid workload."""
+    from gaussian_process_transportation_tpu.models import exact_gp as core
+
+    N, D, P = 60, 2, 2
+    X = rng.randn(N, D).astype(np.float32)
+    Y = np.stack([np.sin(X[:, 0]), np.cos(X[:, 1])], 1).astype(np.float32)
+    Xq = rng.randn(41, D).astype(np.float32)
+    base = K.RBF(jnp.asarray([1.0, 1.5])) if nu is None else K.Matern(
+        jnp.asarray([1.0, 1.5]), nu=nu
+    )
+    kern = K.Constant(2.0) * base + K.White(0.05)
+    gp = core.condition(kern, jnp.asarray(X), jnp.asarray(Y), cache_k_inv=True)
+    mean_ref, std_ref = core.predict(gp, jnp.asarray(Xq), return_std=True)
+    mean, var = pallas_gram.fused_gp_predict_mean_var(
+        jnp.asarray(Xq), gp.X, gp.alpha, gp.K_inv, jnp.asarray([1.0, 1.5]),
+        2.0, 2.05, tile_q=16, tile_k=32, interpret=True, family=family,
+    )
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=3e-4)
+    np.testing.assert_allclose(
+        np.sqrt(np.asarray(var)), np.asarray(std_ref)[:, 0], atol=3e-4
+    )
+
+
 @pytest.mark.parametrize("family,nu", [("matern32", 1.5), ("matern52", 2.5)])
 def test_fused_predict_mean_matern_matches_dense(family, nu):
     """Matern fused predict (VERDICT r2 #3): same tiling, VPU-only change."""
