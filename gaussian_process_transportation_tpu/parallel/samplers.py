@@ -664,6 +664,10 @@ def _sample_gp_posterior_fused(
             num_samples=num_samples, **kw,
         )
 
+    if mesh is not None and num_chains % mesh.shape["ens"]:
+        # shard_map needs the lane (chain) axis divisible by 'ens'; tiny
+        # chain counts just run unsharded (chains are cheap E-last lanes)
+        mesh = None
     if mesh is None:
         samples_c, info = jax.jit(run_local)(inits_te, k_run)
     else:

@@ -75,8 +75,13 @@ def timed(f, args, label, iters=3, reps=3):
     return ms, out
 
 
-# A. as-is vmapped fallback
-fA = jax.jit(lambda tg: gpt_mod.fit_and_transport_batched(kernel, Sd, tg, Xd, dXd))
+# A. the round-3 fallback: vmapped dense per-member (kept explicit — the
+# production fit_and_transport_batched now routes to C below)
+fA = jax.jit(
+    lambda tg: jax.vmap(
+        lambda t: gpt_mod.fit_and_transport(kernel, Sd, t, Xd, dXd)
+    )(tg)
+)
 msA, outA = timed(fA, (T,), "A vmapped-dense    ")
 
 
@@ -109,7 +114,11 @@ def fC(tg):
 
 msC, outC = timed(fC, (T,), "C scan-blocked(512)")
 
-for name, out in (("B", outB), ("C", outC)):
+# D. the production route (fit_and_transport_batched -> scan-blocked)
+fD = jax.jit(lambda tg: gpt_mod.fit_and_transport_batched(kernel, Sd, tg, Xd, dXd))
+msD, outD = timed(fD, (T,), "D production-route ")
+
+for name, out in (("B", outB), ("C", outC), ("D", outD)):
     err = float(jnp.max(jnp.abs(out.traj - outA.traj)))
     scale = float(jnp.max(jnp.abs(outA.traj)))
     log(f"{name} vs A traj rel err: {err/scale:.2e}")

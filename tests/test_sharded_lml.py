@@ -100,6 +100,71 @@ def test_sharded_lml_custom_vjp_and_isotropic():
 
 
 @pytest.mark.slow
+def test_sharded_lml_witness_n8192_memory_accounting():
+    """N=8192 witness on the full 8-device mesh (VERDICT r3 #10): the
+    configuration class behind the README's 'v5e-8 holds N≈100k' claim,
+    executed — block=512 → 16 block-cyclic panels, 2 per device — with the
+    per-device panel-memory accounting printed and balance asserted.
+    Equality vs the single-device panel LML pins the distribution logic at
+    this scale."""
+    n, nd, block, n_dev = 8192, 3, 512, 8
+    rng = np.random.default_rng(8)
+    X = jnp.asarray(rng.standard_normal((n, nd)).astype(np.float32))
+    Y = jnp.asarray(
+        (np.sin(2.0 * np.asarray(X)[:, :1])
+         + 0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+    )
+    log_amp = jnp.asarray(0.3, jnp.float32)
+    log_ls = jnp.zeros(nd, jnp.float32)
+    log_noise = jnp.asarray(math.log(0.1), jnp.float32)
+
+    val_s, (ga_s, gl_s, gn_s) = sharded_lml_value_and_grad(
+        X, Y, "rbf", log_amp, log_ls, log_noise,
+        mesh=_mesh(n_dev), block=block, jitter=1e-6, precision=_HI,
+        interpret=True,
+    )
+    val_1, (ga_1, gl_1, gn_1) = blocked_lml_value_and_grad(
+        X, Y, "rbf", log_amp, log_ls, log_noise,
+        jitter=1e-6, block=block, precision=_HI, interpret=True,
+        refine_iters=0,
+    )
+    assert np.allclose(float(val_s), float(val_1), rtol=1e-5), (val_s, val_1)
+    scale = max(abs(float(ga_1)), np.abs(np.asarray(gl_1)).max(),
+                abs(float(gn_1)))
+    assert abs(float(ga_s) - float(ga_1)) < 1e-4 * scale
+    np.testing.assert_allclose(np.asarray(gl_s), np.asarray(gl_1),
+                               atol=1e-4 * scale)
+    assert abs(float(gn_s) - float(gn_1)) < 1e-4 * scale
+
+    # per-device panel memory, block-cyclic ownership (device d owns panels
+    # d, d+n_dev, ...): panel k holds (Np - k*B, B) f32
+    Np = -(-n // block) * block
+    P = Np // block
+    per_dev = [
+        sum((Np - k * block) * block * 4 for k in range(d, P, n_dev))
+        for d in range(n_dev)
+    ]
+    total = sum(per_dev)
+    print("\nper-device panel bytes:",
+          [f"{b/2**20:.1f}MiB" for b in per_dev],
+          f"total {total/2**20:.1f}MiB")
+    assert total == sum((Np - k * block) * block * 4 for k in range(P))
+    # block-cyclic balance: worst device within 2x of the mean
+    assert max(per_dev) < 2.0 * total / n_dev
+    # the claim's arithmetic, from the same accounting at N=100k on 8 chips:
+    # ~0.5*N^2*4/8 = 2.5 GB/chip of panels -- comfortably inside v5e HBM
+    n_claim = 100_000
+    Np_c = -(-n_claim // block) * block
+    P_c = Np_c // block
+    worst = max(
+        sum((Np_c - k * block) * block * 4 for k in range(d, P_c, n_dev))
+        for d in range(n_dev)
+    )
+    print(f"extrapolated worst-chip panel memory at N=100k: {worst/2**30:.2f} GiB")
+    assert worst < 4 * 2**30  # < 4 GiB of 16 GiB v5e HBM
+
+
+@pytest.mark.slow
 def test_fit_sharded_improves_lml():
     from gaussian_process_transportation_tpu.models import exact_gp
 
