@@ -615,7 +615,7 @@ def sample_gp_posterior(
 
 def _sample_gp_posterior_fused(
     kernel, X, Y2, key, layout, lo, hi, num_chains, num_warmup, num_samples,
-    mesh, jitter, **kw,
+    mesh, jitter, use_kernel=None, **kw,
 ):
     """Ensemble-last chains over the fused Pallas LML kernel.
 
@@ -634,10 +634,11 @@ def _sample_gp_posterior_fused(
     lo_c = jnp.asarray(lo)[perm][:, None]
     hi_c = jnp.asarray(hi)[perm][:, None]
 
-    on_tpu = jax.default_backend() == "tpu"
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
 
     def lp_and_grad(theta_te):
-        fn = small_lml_value_grad if on_tpu else small_lml_value_grad_ref
+        fn = small_lml_value_grad if use_kernel else small_lml_value_grad_ref
         val, grad = fn(
             X, Y2, theta_te, family=family, n_ls=n_ls, has_noise=has_noise,
             jitter=jitter,

@@ -191,21 +191,20 @@ def test_hmc_fused_chain_moments_match_cpu_reference():
     s_tpu = np.asarray(s_tpu)
     assert np.isfinite(s_tpu).all()
 
-    # host-CPU reference chain through the pure-XLA fused ref kernel
-    cpu = jax.devices("cpu")[0]
+    # independent reference chain through the pure-XLA ref implementation
+    # (same target, no Pallas) — implementation-vs-implementation moments
     from gaussian_process_transportation_tpu.models.exact_gp import (
         small_lml_theta_layout,
     )
     layout = small_lml_theta_layout(kernel)
     bounds = kernel.theta_bounds
-    with jax.default_device(cpu):
-        s_cpu, _ = samplers._sample_gp_posterior_fused(
-            kernel, jnp.asarray(Xs), jnp.asarray(Ys), jax.random.PRNGKey(1),
-            layout, bounds[:, 0], bounds[:, 1],
-            common["num_chains"], common["num_warmup"], common["num_samples"],
-            None, 1e-10,
-        )
-        s_cpu = np.asarray(s_cpu)
+    s_cpu, _ = samplers._sample_gp_posterior_fused(
+        kernel, jnp.asarray(Xs), jnp.asarray(Ys), jax.random.PRNGKey(1),
+        layout, bounds[:, 0], bounds[:, 1],
+        common["num_chains"], common["num_warmup"], common["num_samples"],
+        None, 1e-10, use_kernel=False,
+    )
+    s_cpu = np.asarray(s_cpu)
 
     m_t = s_tpu.reshape(-1, 4).mean(0)
     m_c = s_cpu.reshape(-1, 4).mean(0)
