@@ -361,10 +361,32 @@ def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
     rate = num_chains * num_samples / dt
     log(f"hmc: compile {compile_s:.1f}s, runs (ms) {[f'{t*1e3:.0f}' for t in times]}, "
         f"{num_chains} chains x {num_samples} samples -> {rate:.0f} samples/s")
-    return rate, {
+    details = {
         "rep_s": [round(t, 2) for t in times],
         "chains": num_chains, "samples_per_chain": num_samples,
     }
+    # throughput-bound point of the r4 cost model (the C=256 headline is
+    # latency/dispatch-bound on the fused path): one extra width
+    try:
+        big = 4096
+        t0 = time.perf_counter()
+        samples, _ = samplers.sample_gp_posterior(
+            kernel, Xs, Ys, jax.random.PRNGKey(99),
+            num_chains=big, num_warmup=num_warmup, num_samples=num_samples,
+        )
+        np.asarray(samples[0, 0])
+        t0 = time.perf_counter()
+        samples, _ = samplers.sample_gp_posterior(
+            kernel, Xs, Ys, jax.random.PRNGKey(100),
+            num_chains=big, num_warmup=num_warmup, num_samples=num_samples,
+        )
+        np.asarray(samples[0, 0])
+        big_rate = big * num_samples / (time.perf_counter() - t0)
+        log(f"hmc: C={big} -> {big_rate:.0f} samples/s")
+        details["samples_per_s_c4096"] = round(big_rate, 1)
+    except Exception as e:  # diagnostic only
+        log(f"hmc C=4096 extra point failed: {e}")
+    return rate, details
 
 
 def _enable_compile_cache():

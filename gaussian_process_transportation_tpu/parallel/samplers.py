@@ -19,6 +19,7 @@ annotation, not new code.
 """
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
@@ -613,6 +614,47 @@ def sample_gp_posterior(
     return samples, diags
 
 
+@functools.lru_cache(maxsize=64)
+def _fused_local_runner(family, n_ls, has_noise, jitter, use_kernel,
+                        num_warmup, num_samples, kw_items):
+    """Jitted (X, Y2, lo_c, hi_c, q0, key) -> hmc_batched(...), cached on
+    the static config so repeat `sample_gp_posterior` calls hit the SAME
+    jit wrapper — a fresh `jax.jit(closure)` per call retraces every time
+    (~1 s of pure host work per call at the bench workload, dwarfing the
+    160 ms of device time on the fused path)."""
+    from ..ops.fused_lml import small_lml_value_grad, small_lml_value_grad_ref
+
+    kw = dict(kw_items)
+
+    @jax.jit
+    def run(X, Y2, lo_c, hi_c, q0_te, k):
+        def lp_and_grad(theta_te):
+            fn = small_lml_value_grad if use_kernel else small_lml_value_grad_ref
+            val, grad = fn(
+                X, Y2, theta_te, family=family, n_ls=n_ls,
+                has_noise=has_noise, jitter=jitter,
+            )
+            z_lo = (theta_te - lo_c) * 20.0
+            z_hi = (theta_te - hi_c) * 20.0
+            barrier = jnp.sum(
+                jax.nn.softplus(-z_lo) + jax.nn.softplus(z_hi), axis=0
+            )
+            d_barrier = 20.0 * (jax.nn.sigmoid(z_hi) - jax.nn.sigmoid(-z_lo))
+            lp = val - 100.0 * barrier
+            g = grad - 100.0 * d_barrier
+            bad = ~jnp.isfinite(lp)
+            lp = jnp.where(bad, -1e10, lp)
+            g = jnp.where(jnp.isfinite(g) & ~bad[None, :], g, 0.0)
+            return lp, g
+
+        return hmc_batched(
+            lp_and_grad, q0_te, k, num_warmup=num_warmup,
+            num_samples=num_samples, **kw,
+        )
+
+    return run
+
+
 def _sample_gp_posterior_fused(
     kernel, X, Y2, key, layout, lo, hi, num_chains, num_warmup, num_samples,
     mesh, jitter, use_kernel=None, **kw,
@@ -670,7 +712,11 @@ def _sample_gp_posterior_fused(
         # chain counts just run unsharded (chains are cheap E-last lanes)
         mesh = None
     if mesh is None:
-        samples_c, info = jax.jit(run_local)(inits_te, k_run)
+        run = _fused_local_runner(
+            family, n_ls, bool(has_noise), float(jitter), bool(use_kernel),
+            int(num_warmup), int(num_samples), tuple(sorted(kw.items())),
+        )
+        samples_c, info = run(X, Y2, lo_c, hi_c, inits_te, k_run)
     else:
         try:
             from jax import shard_map

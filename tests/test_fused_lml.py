@@ -126,6 +126,7 @@ def test_theta_layout_detection():
     assert small_lml_theta_layout(K.RBF(1.0) + K.RBF(2.0)) is None
 
 
+@pytest.mark.slow
 def test_hmc_batched_statistics_match_vmapped_hmc():
     """The batched sampler must draw from the same posterior as vmap(hmc):
     compare chain moments and R̂ on the bench workload target."""
