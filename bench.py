@@ -319,7 +319,8 @@ def bench_smc(n_particles=8192, n_steps=16, n_traj=100):
     }
 
 
-def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
+def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20,
+              extra_budget_s=120.0):
     """HMC hyperposterior sampling throughput (samples/s/chip).
 
     n_data=20 matches the transport-GP hyperposterior workload (the
@@ -338,6 +339,7 @@ def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
     )
     kernel = K.Constant(1.0) * K.RBF(jnp.ones(2, jnp.float32)) + K.White(0.01)
 
+    t_stage = time.perf_counter()
     t0 = time.perf_counter()
     samples, diags = samplers.sample_gp_posterior(
         kernel, Xs, Ys, jax.random.PRNGKey(0),
@@ -366,8 +368,13 @@ def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20):
         "chains": num_chains, "samples_per_chain": num_samples,
     }
     # throughput-bound point of the r4 cost model (the C=256 headline is
-    # latency/dispatch-bound on the fused path): one extra width
+    # latency/dispatch-bound on the fused path): one extra width — skipped
+    # when a congested tunnel already ate the stage budget
     try:
+        if time.perf_counter() - t_stage > extra_budget_s:
+            raise RuntimeError(
+                f"stage already at {time.perf_counter()-t_stage:.0f}s"
+            )
         big = 4096
         t0 = time.perf_counter()
         samples, _ = samplers.sample_gp_posterior(
@@ -539,9 +546,11 @@ def main():
 
     out = _stage_with_retry(
         "cholesky",
-        # always leave ≥290s for transport(+retry); cap a single attempt at
-        # 170s so a wedged tunnel costs at most that
-        lambda a: min(170.0, remaining() - 290.0),
+        # always leave ≥250s for transport(+rest); cap a single attempt at
+        # 240s — a congested tunnel loads even CACHED panel executables in
+        # 130-233s (r4 observation), so a tighter cap kills stages that
+        # would finish
+        lambda a: min(240.0, remaining() - 250.0),
     )
     tflops = None
     if out is not None:
