@@ -209,12 +209,13 @@ def hmc(
 def hmc_batched(
     lp_and_grad_batched: Callable[[Array], Tuple[Array, Array]],
     init_positions: Array,
-    key: Array,
+    key: Optional[Array] = None,
     num_warmup: int = 500,
     num_samples: int = 500,
     num_leapfrog: int = 16,
     initial_step_size: float = 0.1,
     target_accept: float = 0.8,
+    chain_keys: Optional[Array] = None,
 ) -> Tuple[Array, dict]:
     """All-chains-in-ONE-scan HMC with ensemble-last state.
 
@@ -231,9 +232,22 @@ def hmc_batched(
     fused kernel call.  Step size and mass adapt per chain (dual averaging
     / Welford on (E,)-vectors), matching :func:`hmc` chainwise.
 
+    All randomness derives PER CHAIN from ``chain_keys[e]`` (folded by
+    phase and step index), so the draws are invariant to how the lane
+    axis is sharded — a mesh run equals the unsharded run bit-exactly
+    (asserted by tests/multihost_worker.py stage 3).
+
     Returns (samples (E, S, T), info).
     """
     T, E = init_positions.shape
+    if chain_keys is None:
+        chain_keys = jax.random.split(key, E)
+
+    def step_keys(phase, s):
+        """(E,) per-chain keys for step s of warmup-1/warmup-2/sampling."""
+        return jax.vmap(
+            lambda ck: jax.random.fold_in(jax.random.fold_in(ck, phase), s)
+        )(chain_keys)
 
     def leapfrog(q, p, g, step, inv_mass):
         def body(carry, _):
@@ -247,16 +261,20 @@ def hmc_batched(
         (q, p, g), lps = jax.lax.scan(body, (q, p, g), None, length=num_leapfrog)
         return q, p, g, lps[-1]
 
-    def one_step(state, key, step, inv_mass):
+    def one_step(state, keys_e, step, inv_mass):
         q0, lp0, g0 = state
-        k_mom, k_acc = jax.random.split(key)
-        p0 = jax.random.normal(k_mom, (T, E)) / jnp.sqrt(inv_mass)
+        pair = jax.vmap(lambda k: jax.random.split(k))(keys_e)  # (E, 2, ...)
+        k_mom, k_acc = pair[:, 0], pair[:, 1]
+        p0 = jnp.transpose(
+            jax.vmap(lambda k: jax.random.normal(k, (T,)))(k_mom)
+        ) / jnp.sqrt(inv_mass)
         q, p, g, lp = leapfrog(q0, p0, g0, step, inv_mass)
         ke0 = 0.5 * jnp.sum(p0 * p0 * inv_mass, axis=0)
         ke1 = 0.5 * jnp.sum(p * p * inv_mass, axis=0)
         log_accept = (lp - ke1) - (lp0 - ke0)
         accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
-        accept = jax.random.uniform(k_acc, (E,)) < accept_prob
+        u = jax.vmap(lambda k: jax.random.uniform(k))(k_acc)
+        accept = u < accept_prob
         state = (
             jnp.where(accept[None, :], q, q0),
             jnp.where(accept, lp, lp0),
@@ -267,24 +285,25 @@ def hmc_batched(
     lp0, g0 = lp_and_grad_batched(init_positions)
     state0 = (init_positions, lp0, g0)
 
-    def warmup_step(carry, key):
-        state, da, mean, m2, count, inv_mass = carry
-        step = jnp.exp(da["log_step"])
-        state, accept_prob = one_step(state, key, step, inv_mass)
-        da = _dual_averaging_update(da, accept_prob, target=target_accept)
-        count += 1.0
-        delta = state[0] - mean
-        mean = mean + delta / count
-        m2 = m2 + delta * (state[0] - mean)
-        return (state, da, mean, m2, count, inv_mass), accept_prob
+    def make_warmup_step(phase):
+        def warmup_step(carry, s):
+            state, da, mean, m2, count, inv_mass = carry
+            step = jnp.exp(da["log_step"])
+            state, accept_prob = one_step(state, step_keys(phase, s), step, inv_mass)
+            da = _dual_averaging_update(da, accept_prob, target=target_accept)
+            count += 1.0
+            delta = state[0] - mean
+            mean = mean + delta / count
+            m2 = m2 + delta * (state[0] - mean)
+            return (state, da, mean, m2, count, inv_mass), accept_prob
+
+        return warmup_step
 
     da0 = _dual_averaging_init(jnp.full((E,), initial_step_size))
     carry = (state0, da0, jnp.zeros((T, E)), jnp.zeros((T, E)),
              jnp.asarray(0.0), jnp.ones((T, E)))
     half = num_warmup // 2
-    carry, _ = jax.lax.scan(
-        warmup_step, carry, jax.random.split(jax.random.fold_in(key, 0), half)
-    )
+    carry, _ = jax.lax.scan(make_warmup_step(0), carry, jnp.arange(half))
     state, da, mean, m2, count, _ = carry
     var = m2 / jnp.maximum(count - 1.0, 1.0)
     inv_mass = jnp.clip(var, 1e-4, 1e4)
@@ -292,18 +311,17 @@ def hmc_batched(
     carry = (state, da, jnp.zeros((T, E)), jnp.zeros((T, E)),
              jnp.asarray(0.0), inv_mass)
     carry, _ = jax.lax.scan(
-        warmup_step, carry,
-        jax.random.split(jax.random.fold_in(key, 1), num_warmup - half),
+        make_warmup_step(1), carry, jnp.arange(num_warmup - half)
     )
     state, da, _, _, _, inv_mass = carry
     step = jnp.exp(da["log_step_avg"])
 
-    def sample_step(state, key):
-        state, a = one_step(state, key, step, inv_mass)
+    def sample_step(state, s):
+        state, a = one_step(state, step_keys(2, s), step, inv_mass)
         return state, (state[0], a)
 
     state, (samples, accepts) = jax.lax.scan(
-        sample_step, state, jax.random.split(jax.random.fold_in(key, 2), num_samples)
+        sample_step, state, jnp.arange(num_samples)
     )
     # (S, T, E) -> (E, S, T)
     samples = jnp.transpose(samples, (2, 0, 1))
@@ -546,6 +564,7 @@ def sample_gp_posterior(
     algorithm: str = "hmc",
     mesh: Optional[Mesh] = None,
     jitter: float = 1e-10,
+    fused: Optional[bool] = None,
     **kw,
 ):
     """Sample p(θ | X, Y) ∝ exp(LML) with a flat prior inside the kernel's
@@ -573,6 +592,16 @@ def sample_gp_posterior(
         and X.shape[0] <= 32
         and Y2.shape[1] <= 8
     )
+    if fused is not None:
+        use_fused = bool(fused) and use_fused
+    # NOTE on distributed determinism: the fused path's random streams are
+    # per-chain (sharding-invariant), and hmc_batched itself is bit-equal
+    # under shard_map (tests/test_fused_lml.py::test_hmc_batched_bit_
+    # invariant_under_shard_map) — but the LML gradient's f32 reduction
+    # order can differ with shard width (XLA reassociation, ~1e-7), which a
+    # chaotic accept/reject amplifies.  Callers needing bit-identical
+    # mesh/no-mesh chains (e.g. the multihost equality gate) should pass
+    # ``fused=False``.
     if use_fused:
         return _sample_gp_posterior_fused(
             kernel, X, Y2, key, layout, lo, hi, num_chains, num_warmup,
@@ -627,7 +656,7 @@ def _fused_local_runner(family, n_ls, has_noise, jitter, use_kernel,
     kw = dict(kw_items)
 
     @jax.jit
-    def run(X, Y2, lo_c, hi_c, q0_te, k):
+    def run(X, Y2, lo_c, hi_c, q0_te, cks):
         def lp_and_grad(theta_te):
             fn = small_lml_value_grad if use_kernel else small_lml_value_grad_ref
             val, grad = fn(
@@ -648,8 +677,8 @@ def _fused_local_runner(family, n_ls, has_noise, jitter, use_kernel,
             return lp, g
 
         return hmc_batched(
-            lp_and_grad, q0_te, k, num_warmup=num_warmup,
-            num_samples=num_samples, **kw,
+            lp_and_grad, q0_te, num_warmup=num_warmup,
+            num_samples=num_samples, chain_keys=cks, **kw,
         )
 
     return run
@@ -700,11 +729,14 @@ def _sample_gp_posterior_fused(
     u = jax.random.uniform(k_init, (num_chains, T))
     inits = lo + u * (hi - lo) * 0.5 + 0.25 * (hi - lo)  # central half of the box
     inits_te = jnp.transpose(inits[:, perm], (1, 0))  # (T, E) canonical order
+    # per-CHAIN key streams: the draws depend only on a chain's own key, so
+    # sharded and unsharded runs are bit-identical (multihost stage-3 gate)
+    chain_keys = jax.random.split(k_run, num_chains)
 
-    def run_local(q0_te, k):
+    def run_local(q0_te, cks):
         return hmc_batched(
-            lp_and_grad, q0_te, k, num_warmup=num_warmup,
-            num_samples=num_samples, **kw,
+            lp_and_grad, q0_te, num_warmup=num_warmup,
+            num_samples=num_samples, chain_keys=cks, **kw,
         )
 
     if mesh is not None and num_chains % mesh.shape["ens"]:
@@ -716,7 +748,7 @@ def _sample_gp_posterior_fused(
             family, n_ls, bool(has_noise), float(jitter), bool(use_kernel),
             int(num_warmup), int(num_samples), tuple(sorted(kw.items())),
         )
-        samples_c, info = run(X, Y2, lo_c, hi_c, inits_te, k_run)
+        samples_c, info = run(X, Y2, lo_c, hi_c, inits_te, chain_keys)
     else:
         try:
             from jax import shard_map
@@ -725,22 +757,18 @@ def _sample_gp_posterior_fused(
         from .mesh import global_put
 
         inits_te = global_put(inits_te, NamedSharding(mesh, P(None, "ens")))
+        chain_keys = global_put(chain_keys, NamedSharding(mesh, P("ens")))
 
-        def shard_body(q0_te, k):
-            k = jax.random.fold_in(k[0], jax.lax.axis_index("ens"))
-            return run_local(q0_te, k)
-
-        keys = jax.random.split(k_run, mesh.shape["ens"])
         samples_c, info = jax.jit(
             shard_map(
-                shard_body, mesh=mesh,
+                run_local, mesh=mesh,
                 in_specs=(P(None, "ens"), P("ens")),
                 out_specs=(P("ens"), {"step_size": P("ens"),
                                       "inv_mass": P("ens"),
                                       "mean_accept": P("ens")}),
                 check_vma=False,
             )
-        )(inits_te, keys)
+        )(inits_te, chain_keys)
 
     samples = samples_c[:, :, inv_perm]  # back to kernel.theta ordering
     diags = dict(

@@ -130,18 +130,34 @@ assert np.isclose(float(loss_s), float(loss_g), atol=1e-9)
 _stage("stage 3: sharded HMC")
 Xs = rng.standard_normal((12, 2))
 Ys = np.sin(Xs[:, :1]) + 0.1 * rng.standard_normal((12, 1))
+# bit-equality gate runs the GENERIC vmapped sampler (fused=False): the
+# fused path's per-chain streams are sharding-invariant and hmc_batched is
+# bit-equal under shard_map (unit-tested), but its f32 LML-gradient
+# reduction order varies with shard width (XLA reassociation) and the
+# accept/reject step amplifies ~1e-7 chaotically — see
+# samplers.sample_gp_posterior NOTE.
 samples, diags = samplers.sample_gp_posterior(
     kernel, jnp.asarray(Xs), jnp.asarray(Ys), jax.random.PRNGKey(0),
-    num_chains=E, num_warmup=10, num_samples=10, mesh=mesh,
+    num_chains=E, num_warmup=10, num_samples=10, mesh=mesh, fused=False,
 )
 samples_g, _ = samplers.sample_gp_posterior(
     kernel, jnp.asarray(Xs), jnp.asarray(Ys), jax.random.PRNGKey(0),
-    num_chains=E, num_warmup=10, num_samples=10, mesh=None,
+    num_chains=E, num_warmup=10, num_samples=10, mesh=None, fused=False,
 )
 a = multihost_utils.process_allgather(samples, tiled=True)
 assert np.allclose(a, np.asarray(samples_g), atol=1e-9), np.abs(
     a - np.asarray(samples_g)).max()
 assert np.isfinite(a).all()
+
+# the fused ensemble-last path on the same multi-process mesh: plumbing +
+# finiteness (statistical equivalence is gated in test_fused_lml.py)
+samples_f, _ = samplers.sample_gp_posterior(
+    kernel, jnp.asarray(Xs), jnp.asarray(Ys), jax.random.PRNGKey(0),
+    num_chains=E, num_warmup=10, num_samples=10, mesh=mesh,
+)
+af = multihost_utils.process_allgather(samples_f, tiled=True)
+assert af.shape == (E, 10, kernel.n_theta)
+assert np.isfinite(af).all()
 
 _stage("all stages passed")
 print(f"MULTIHOST_OK process={pid}", flush=True)

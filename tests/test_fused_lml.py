@@ -153,6 +153,48 @@ def test_hmc_batched_statistics_match_vmapped_hmc():
     assert np.all(np.abs(m_f - m_r) < 0.8 * sd + 0.3)
 
 
+def test_hmc_batched_bit_invariant_under_shard_map():
+    """hmc_batched's per-chain random streams make the sampler itself
+    bit-identical sharded vs unsharded (the multihost determinism story;
+    the fused LML's f32 reduction order is the only sharding-sensitive
+    part, and it is excluded here by a closed-form target)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from gaussian_process_transportation_tpu.parallel import samplers
+
+    T, E = 3, 8
+
+    def lp_and_grad(q):
+        return -0.5 * jnp.sum(q * q, axis=0), -q
+
+    q0 = jnp.asarray(np.random.default_rng(0).standard_normal((T, E)))
+    cks = jax.random.split(jax.random.PRNGKey(1), E)
+
+    def run(q0, cks):
+        return samplers.hmc_batched(
+            lp_and_grad, q0, num_warmup=10, num_samples=10,
+            num_leapfrog=4, chain_keys=cks,
+        )
+
+    s0, _ = jax.jit(run)(q0, cks)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ens", "data"))
+    q0s = jax.device_put(q0, NamedSharding(mesh, P(None, "ens")))
+    ckss = jax.device_put(cks, NamedSharding(mesh, P("ens")))
+    s1, _ = jax.jit(
+        shard_map(
+            run, mesh=mesh, in_specs=(P(None, "ens"), P("ens")),
+            out_specs=(P("ens"), {"step_size": P("ens"),
+                                  "inv_mass": P("ens"),
+                                  "mean_accept": P("ens")}),
+            check_vma=False,
+        )
+    )(q0s, ckss)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
 def test_hmc_batched_fused_on_mesh():
     from gaussian_process_transportation_tpu.parallel import samplers
     from gaussian_process_transportation_tpu.parallel.mesh import make_mesh
