@@ -786,6 +786,169 @@ def fit_blocked(
     )
 
 
+def _lbfgs_elast(value_and_grad_b, x0, lower, upper, maxiter, m=8,
+                 armijo_c=1e-4, max_backtrack=6):
+    """Per-lane projected L-BFGS (minimization) on (T, L) parameters.
+
+    Every lane optimizes independently: the two-loop recursion's inner
+    products are per-lane sums over the T parameter rows, histories are
+    (m, T, L) rolled buffers with rho=0 masking empty/degenerate slots,
+    and the Armijo backtracking line search halves each lane's step
+    individually.  One batched value+grad call per candidate — built for
+    the fused multi-data LML kernel where a (T, L) evaluation costs ~100µs
+    regardless of L (``ops.fused_lml.small_lml_value_grad_md``).
+    ``optax.lbfgs`` cannot be used here: its inner products span the whole
+    parameter pytree, coupling the lanes.
+    """
+    T, L = x0.shape
+
+    def dot(a, b):  # per-lane inner product over parameter rows
+        return jnp.sum(a * b, axis=0)
+
+    def clipx(x):
+        return jnp.clip(x, lower, upper)
+
+    v0, g0 = value_and_grad_b(x0)
+    S0 = jnp.zeros((m, T, L), x0.dtype)
+    Yh0 = jnp.zeros((m, T, L), x0.dtype)
+    rho0 = jnp.zeros((m, L), x0.dtype)
+
+    def body(_, carry):
+        x, v, g, S, Yh, rho = carry
+        # two-loop recursion, newest slot first
+        q = g
+        alphas = []
+        for kk in range(m):
+            a = rho[kk] * dot(S[kk], q)
+            q = q - a[None, :] * Yh[kk]
+            alphas.append(a)
+        y0y0 = dot(Yh[0], Yh[0])
+        gamma = jnp.where(
+            rho[0] > 0.0, dot(S[0], Yh[0]) / jnp.maximum(y0y0, 1e-30), 1.0
+        )
+        r = gamma[None, :] * q
+        for kk in reversed(range(m)):
+            b = rho[kk] * dot(Yh[kk], r)
+            r = r + S[kk] * (alphas[kk] - b)[None, :]
+        d = -r
+        desc = dot(d, g)
+        d = jnp.where(desc[None, :] < 0.0, d, -g)  # fall back to steepest
+        dg = jnp.minimum(dot(d, g), -1e-30)
+        # per-lane backtracking Armijo
+        t = jnp.ones((L,), x0.dtype)
+        for _ in range(max_backtrack):
+            v_try, _ = value_and_grad_b(clipx(x + t[None, :] * d))
+            ok = v_try <= v + armijo_c * t * dg
+            t = jnp.where(ok, t, 0.5 * t)
+        x_new = clipx(x + t[None, :] * d)
+        v_new, g_new = value_and_grad_b(x_new)
+        # only keep steps that actually decreased (the last halving was
+        # not re-checked); otherwise stay
+        good = v_new <= v
+        x_new = jnp.where(good[None, :], x_new, x)
+        g_new2 = jnp.where(good[None, :], g_new, g)
+        v_new2 = jnp.where(good, v_new, v)
+        s = x_new - x
+        yv = g_new2 - g
+        sy = dot(s, yv)
+        rho_new = jnp.where(sy > 1e-12, 1.0 / jnp.where(sy > 1e-12, sy, 1.0), 0.0)
+        S = jnp.concatenate([s[None], S[:-1]], axis=0)
+        Yh = jnp.concatenate([yv[None], Yh[:-1]], axis=0)
+        rho = jnp.concatenate([rho_new[None], rho[:-1]], axis=0)
+        return x_new, v_new2, g_new2, S, Yh, rho
+
+    x, v, g, _, _, _ = jax.lax.fori_loop(
+        0, maxiter, body, (x0, v0, g0, S0, Yh0, rho0)
+    )
+    return x, v
+
+
+def fit_ensemble_fused(
+    kernel: Kernel,
+    Xe: Array,
+    Ye: Array,
+    n_restarts: int = 6,
+    key: Optional[Array] = None,
+    jitter: float = 1e-10,
+    maxiter: int = 40,
+    use_kernel: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Batched multi-restart hyperparameter fits: member e fits ITS OWN
+    dataset (Xe[e], Ye[e]); all members × restarts optimize as ONE
+    compiled program whose value+grad is a single fused Pallas kernel
+    call per line-search candidate (``ops.fused_lml``).
+
+    The reference performs this workload as one sklearn L-BFGS fit per
+    ensemble member (``models/gaussian_process.py:17-29`` under
+    ``transportation/``-level loops); the r3 vmapped-AD equivalent ran at
+    ~1.1k fits/s on v5e-1 — the per-iteration cost there is hundreds of
+    tiny XLA fusions (the round-4 HMC cost model, same disease).
+
+    Restart lanes are nearly free (the kernel's cost is per 128-lane
+    block), so the default is higher than ``fit_jit``'s — the small-N LML
+    surface is multimodal (noise-dominated vs signal basins) and lanes
+    are the cheap way to cover it (measured: member basins missed at 2
+    restarts, all recovered at 6).
+
+    Returns (thetas (E, n_theta) in ``kernel.theta`` order, lml (E,)).
+    Requires the C·stationary(+White) family at n ≤ 32.
+    """
+    layout = small_lml_theta_layout(kernel)
+    if layout is None:
+        raise ValueError("fit_ensemble_fused needs the C·stationary(+White) family")
+    family, n_ls, has_noise, perm = layout
+    inv_perm = np.argsort(perm)
+    from ..ops.fused_lml import (
+        small_lml_value_grad_md,
+        small_lml_value_grad_md_ref,
+    )
+
+    E, n, D = Xe.shape
+    Ye3 = Ye if Ye.ndim == 3 else Ye[:, :, None]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    bounds = kernel.theta_bounds
+    lo, hi = bounds[:, 0], bounds[:, 1]
+    T = lo.shape[0]
+    R = n_restarts + 1
+    L = E * R
+
+    theta0 = kernel.theta
+    u = jax.random.uniform(key, (E, n_restarts, T), dtype=jnp.float32)
+    rand = lo + u * (hi - lo)
+    starts = jnp.concatenate(
+        [jnp.broadcast_to(theta0[None, None, :], (E, 1, T)), rand], axis=1
+    )  # (E, R, T), member-major
+    x0 = jnp.transpose(starts.reshape(L, T)[:, perm], (1, 0)).astype(jnp.float32)
+
+    Xe_t = jnp.repeat(jnp.asarray(Xe), R, axis=0)
+    Ye_t = jnp.repeat(jnp.asarray(Ye3), R, axis=0)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    fn = small_lml_value_grad_md if use_kernel else small_lml_value_grad_md_ref
+
+    def nll_b(th):
+        val, grad = fn(
+            Xe_t, Ye_t, th, family=family, n_ls=n_ls, has_noise=has_noise,
+            jitter=jitter,
+        )
+        v = -val
+        bad = ~jnp.isfinite(v)
+        v = jnp.where(bad, 1e25, v)
+        g = jnp.where(jnp.isfinite(grad) & ~bad[None, :], -grad, 0.0)
+        return v, g
+
+    lo_c = jnp.asarray(lo)[perm][:, None].astype(jnp.float32)
+    hi_c = jnp.asarray(hi)[perm][:, None].astype(jnp.float32)
+    x, v = _lbfgs_elast(nll_b, x0, lo_c, hi_c, maxiter)
+
+    v_er = v.reshape(E, R)
+    best = jnp.argmin(v_er, axis=1)  # (E,)
+    x_er = jnp.transpose(x, (1, 0)).reshape(E, R, T)
+    th_best = jnp.take_along_axis(x_er, best[:, None, None], axis=1)[:, 0, :]
+    return th_best[:, inv_perm], -jnp.take_along_axis(v_er, best[:, None], axis=1)[:, 0]
+
+
 def fit_jit(
     kernel: Kernel,
     X: Array,

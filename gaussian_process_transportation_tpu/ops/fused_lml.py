@@ -276,6 +276,219 @@ def small_lml_value_grad(
     return val[0, :E], grad[:, :E]
 
 
+def _lml_kernel_md(d2_ref, y_ref, th_ref, val_ref, grad_ref, *, n, D, p, n_ls,
+                   has_noise, family, jitter):
+    """Multi-data variant: every lane carries ITS OWN dataset.
+
+    d2_ref: (D·n·n, EB) per-lane squared distances, row d·n² + j·n + i =
+    Δ²_d between points i and j of lane e's dataset (so a column slice of
+    length n is column j of the lane's distance matrix along dim d);
+    y_ref: (p·n, EB) per-lane targets, row q·n + i = Y[i, q].
+    Same math as :func:`_lml_kernel` otherwise — used by the batched
+    hyperparameter-fit ensembles where each member owns a different
+    (X, Y) (``models.exact_gp.fit_ensemble_fused``).
+    """
+    EB = th_ref.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    amp = jnp.exp(th_ref[0:1, :])
+    inv_ls2 = [jnp.exp(-2.0 * th_ref[1 + (d if n_ls > 1 else 0):
+                                     2 + (d if n_ls > 1 else 0), :])
+               for d in range(D)]
+    if has_noise:
+        noise = jnp.exp(th_ref[1 + n_ls:2 + n_ls, :])
+    else:
+        noise = jnp.zeros((1, EB), jnp.float32)
+
+    def d2col(d, j):
+        return d2_ref[d * n * n + j * n: d * n * n + (j + 1) * n, :]  # (n, EB)
+
+    def yrow(i):  # (p, EB)
+        return jnp.concatenate(
+            [y_ref[q * n + i: q * n + i + 1, :] for q in range(p)], axis=0
+        )
+
+    scols, phis, kcols = [], [], []
+    for j in range(n):
+        s = d2col(0, j) * inv_ls2[0]
+        for d in range(1, D):
+            s = s + d2col(d, j) * inv_ls2[d]
+        ph = _phi(s, family)
+        ej = jnp.where(sub == j, 1.0, 0.0)
+        kcols.append(amp * ph + ej * (noise + jitter))
+        scols.append(s)
+        phis.append(ph)
+
+    cols, inv_diag = [], []
+    logdet = jnp.zeros((1, EB), jnp.float32)
+    for j in range(n):
+        v = kcols[j]
+        for k in range(j):
+            v = v - cols[k][j:j + 1, :] * cols[k]
+        piv = v[j:j + 1, :]
+        r = jax.lax.rsqrt(piv)
+        cols.append(jnp.where(sub >= j, v * r, 0.0))
+        inv_diag.append(r)
+        logdet = logdet + jnp.log(piv)
+
+    z = []
+    for i in range(n):
+        s = yrow(i)
+        for k in range(i):
+            s = s - cols[k][i:i + 1, :] * z[k]
+        z.append(s * inv_diag[i])
+    a = [None] * n
+    for i in reversed(range(n)):
+        s = z[i]
+        for k in range(i + 1, n):
+            s = s - cols[i][k:k + 1, :] * a[k]
+        a[i] = s * inv_diag[i]
+
+    quad = jnp.zeros((1, EB), jnp.float32)
+    for i in range(n):
+        quad = quad + jnp.sum(yrow(i) * a[i], axis=0, keepdims=True)
+    val_ref[:, :] = -0.5 * quad - p * (0.5 * logdet + 0.5 * n * _LOG_2PI)
+
+    astack = [jnp.concatenate([a[i][q:q + 1, :] for i in range(n)], axis=0)
+              for q in range(p)]
+
+    U = []
+    for i in range(n):
+        s = jnp.where(sub == i, 1.0, 0.0) * jnp.ones((1, EB), jnp.float32)
+        for k in range(i):
+            s = s - cols[k][i:i + 1, :] * U[k]
+        U.append(s * inv_diag[i])
+    V = [None] * n
+    for i in reversed(range(n)):
+        s = U[i]
+        for k in range(i + 1, n):
+            s = s - cols[i][k:k + 1, :] * V[k]
+        V[i] = s * inv_diag[i]
+
+    g_amp = jnp.zeros((1, EB), jnp.float32)
+    g_ls = [jnp.zeros((1, EB), jnp.float32) for _ in range(n_ls)]
+    g_noise = jnp.zeros((1, EB), jnp.float32)
+    for i in range(n):
+        Wi = -float(p) * V[i]
+        for q in range(p):
+            Wi = Wi + astack[q][i:i + 1, :] * astack[q]
+        Wi = 0.5 * Wi
+        g_amp = g_amp + jnp.sum(Wi * (amp * phis[i]), axis=0, keepdims=True)
+        Wdk = Wi * (amp * _dphi(scols[i], family))
+        for d in range(D):
+            contrib = jnp.sum(Wdk * d2col(d, i), axis=0, keepdims=True)
+            li = d if n_ls > 1 else 0
+            g_ls[li] = g_ls[li] + contrib
+        if has_noise:
+            g_noise = g_noise + jnp.sum(
+                jnp.where(sub == i, Wi, 0.0), axis=0, keepdims=True
+            )
+    rows = [g_amp]
+    for li in range(n_ls):
+        rows.append(g_ls[li] * (-2.0 * inv_ls2[li if n_ls > 1 else 0]))
+    if has_noise:
+        rows.append(noise * g_noise)
+    grad_ref[:, :] = jnp.concatenate(rows, axis=0)
+
+
+def _sq_dists_md(Xe: Array) -> Array:
+    """(D·n·n, E) per-lane squared distances from Xe (E, n, D)."""
+    E, n, D = Xe.shape
+    Xf = Xe.astype(jnp.float32)
+    blocks = []
+    for d in range(D):
+        diff = Xf[:, None, :, d] - Xf[:, :, None, d]      # (E, j, i)
+        blocks.append(jnp.transpose(diff * diff, (1, 2, 0)).reshape(n * n, E))
+    return jnp.concatenate(blocks, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("family", "n_ls", "has_noise", "jitter", "eb", "interpret"),
+)
+def small_lml_value_grad_md(
+    Xe: Array,
+    Ye: Array,
+    theta: Array,
+    family: str = "rbf",
+    n_ls: int = 1,
+    has_noise: bool = True,
+    jitter: float = 1e-10,
+    eb: int = 128,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Multi-data fused LML: lane e evaluates ITS OWN dataset
+    (Xe[e], Ye[e]) at theta[:, e].  Shapes: Xe (E, n, D), Ye (E, n, p),
+    theta (T, E) → ((E,), (T, E)).  The batched-hyperopt building block
+    (each transport-ensemble member fits its own residual dataset)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    E, n, D = Xe.shape
+    Ye3 = Ye if Ye.ndim == 3 else Ye[:, :, None]
+    p = Ye3.shape[2]
+    if n > 32:
+        raise ValueError(f"fused small-LML kernel is for n <= 32, got {n}")
+    T = 1 + n_ls + int(has_noise)
+    if theta.shape[0] != T:
+        raise ValueError(f"theta rows {theta.shape[0]} != layout T={T}")
+    Ep = -(-E // eb) * eb
+    th = theta.astype(jnp.float32)
+    d2 = _sq_dists_md(Xe)
+    Yt = jnp.transpose(Ye3.astype(jnp.float32), (2, 1, 0)).reshape(p * n, E)
+    if Ep > E:
+        th = jnp.pad(th, ((0, 0), (0, Ep - E)), mode="edge")
+        d2 = jnp.pad(d2, ((0, 0), (0, Ep - E)), mode="edge")
+        Yt = jnp.pad(Yt, ((0, 0), (0, Ep - E)), mode="edge")
+
+    kern = functools.partial(
+        _lml_kernel_md, n=n, D=D, p=p, n_ls=n_ls,
+        has_noise=has_noise, family=family, jitter=jitter,
+    )
+    val, grad = pl.pallas_call(
+        kern,
+        grid=(Ep // eb,),
+        in_specs=[
+            pl.BlockSpec((D * n * n, eb), lambda i: (0, i)),
+            pl.BlockSpec((p * n, eb), lambda i: (0, i)),
+            pl.BlockSpec((T, eb), lambda i: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, eb), lambda i: (0, i)),
+            pl.BlockSpec((T, eb), lambda i: (0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((T, Ep), jnp.float32),
+        ),
+        interpret=bool(interpret),
+    )(d2, Yt, th)
+    return val[0, :E], grad[:, :E]
+
+
+def small_lml_value_grad_md_ref(
+    Xe: Array,
+    Ye: Array,
+    theta: Array,
+    family: str = "rbf",
+    n_ls: int = 1,
+    has_noise: bool = True,
+    jitter: float = 1e-10,
+) -> Tuple[Array, Array]:
+    """Pure-XLA reference of :func:`small_lml_value_grad_md` (vmap of the
+    shared-data reference over lanes)."""
+    Ye3 = Ye if Ye.ndim == 3 else Ye[:, :, None]
+
+    def one(x, y, th):
+        v, g = small_lml_value_grad_ref(
+            x, y, th[:, None], family=family, n_ls=n_ls,
+            has_noise=has_noise, jitter=jitter,
+        )
+        return v[0], g[:, 0]
+
+    vals, grads = jax.vmap(one)(Xe, Ye3, jnp.transpose(theta, (1, 0)))
+    return vals, jnp.transpose(grads, (1, 0))
+
+
 def small_lml_value_grad_ref(
     X: Array,
     Y: Array,

@@ -306,3 +306,80 @@ def fit_and_transport_batched(
         return transport_apply(aff, gp, traj, delta)
 
     return jax.vmap(apply_one)(aff_b, src_al, delta_b, L_b, alpha_b, Kinv_b)
+
+
+@partial(jax.jit, static_argnames=("do_scale", "do_rotation", "n_restarts",
+                                   "maxiter"))
+def fit_and_transport_batched_opt(
+    kernel: K.Kernel,
+    source_distribution: Array,
+    target_distributions: Array,
+    traj: Array,
+    delta: Array,
+    n_restarts: int = 6,
+    maxiter: int = 30,
+    key: Optional[Array] = None,
+    do_scale: bool = False,
+    do_rotation: bool = True,
+    jitter: float = 1e-10,
+) -> TransportResult:
+    """Batched multi-target transport with PER-MEMBER hyperparameter
+    optimization — the reference's actual default behavior (sklearn GPR
+    re-fits hyperparameters per transport, ``models/gaussian_process.py:
+    17-29`` under ``gaussian_process_transportation.py::fit_transportation``)
+    at ensemble scale as ONE compiled program.
+
+    Each member's Ψ-GP residual dataset (src_aligned_e, Δ_e) gets its own
+    multi-restart L-BFGS fit through the fused multi-data LML kernel
+    (``models.exact_gp.fit_ensemble_fused`` — 83k fits/s at E=4096 on
+    v5e-1, vs ~1/s for the reference's per-member sklearn loop), then the
+    transport runs with the fitted per-member kernels through the same
+    ensemble-last conditioning as :func:`fit_and_transport_batched`.
+
+    Requires the C·stationary(+White) family at n ≤ 32 members.
+    """
+    source_distribution = jnp.asarray(source_distribution)
+    targets = jnp.asarray(target_distributions)
+    n, d = source_distribution.shape
+    if n > 32:
+        raise ValueError(
+            "fit_and_transport_batched_opt needs n <= 32 distribution points"
+            " (the fused small-LML fit); use per-member fit_blocked beyond."
+        )
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    aff_b = affine_core.fit_batched(
+        source_distribution, targets, do_scale=do_scale, do_rotation=do_rotation
+    )
+    src_al = jax.vmap(lambda a: affine_core.predict(a, source_distribution))(aff_b)
+    delta_b = targets - src_al  # (E, n, d)
+
+    thetas, _ = gp_core.fit_ensemble_fused(
+        kernel, src_al, delta_b, n_restarts=n_restarts, maxiter=maxiter,
+        key=key, jitter=jitter,
+    )
+    kernels_b = jax.vmap(kernel.with_theta)(thetas)
+
+    K_b = jax.vmap(lambda kn, x: kn(x))(kernels_b, src_al)  # (E, n, n)
+    eff = gp_core._eff_jitter(src_al.dtype, jitter)
+    K_b = K_b + eff * jnp.eye(n, dtype=src_al.dtype)
+
+    from ..ops.batched_linalg import spd_inverse_elast
+
+    L_e, Kinv_e = spd_inverse_elast(jnp.transpose(K_b, (1, 2, 0)))  # (n,n,E)
+    L_b = jnp.transpose(L_e, (2, 0, 1))
+    Kinv_b = jnp.transpose(Kinv_e, (2, 0, 1))
+    alpha_b = jnp.einsum(
+        "enm,emp->enp", Kinv_b, delta_b, precision=jax.lax.Precision.HIGHEST
+    )
+
+    def apply_one(kn, aff, X, Y, L, alpha, K_inv):
+        gp = gp_core.ExactGP(
+            kernel=kn, X=X, Y=Y, L=L, alpha=alpha, K_inv=K_inv, jitter=jitter
+        )
+        return transport_apply(aff, gp, traj, delta)
+
+    return jax.vmap(apply_one)(
+        kernels_b, aff_b, src_al, delta_b, L_b, alpha_b, Kinv_b
+    )

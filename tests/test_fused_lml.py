@@ -112,6 +112,96 @@ def test_fused_multioutput_and_padding():
     )
 
 
+def test_fused_md_matches_per_member_ad():
+    """Multi-data kernel: every lane owns its own dataset — golden is
+    per-member jax.value_and_grad of log_marginal_likelihood."""
+    from gaussian_process_transportation_tpu.ops.fused_lml import (
+        small_lml_value_grad_md,
+        small_lml_value_grad_md_ref,
+    )
+
+    kernel = K.Constant(2.0) * K.RBF(jnp.ones(2)) + K.White(0.05)
+    family, n_ls, has_noise, perm = small_lml_theta_layout(kernel)
+    rng = np.random.default_rng(3)
+    E, n, D, p = 6, 13, 2, 1
+    Xe = jnp.asarray(rng.standard_normal((E, n, D)).astype(np.float32))
+    Ye = jnp.asarray(rng.standard_normal((E, n, p)).astype(np.float32))
+    thetas = jnp.asarray(rng.uniform(-1.0, 1.0, (E, 4)).astype(np.float32))
+    jitter = 1e-8
+
+    def one(x, y, th):
+        f = lambda t: log_marginal_likelihood(kernel.with_theta(t), x, y, jitter)
+        return jax.value_and_grad(f)(th.astype(jnp.float64))
+
+    vals_g, grads_g = jax.vmap(one)(Xe, Ye, thetas)
+    te = jnp.transpose(thetas[:, perm], (1, 0))
+    v_ref, g_ref = small_lml_value_grad_md_ref(
+        Xe, Ye, te, family=family, n_ls=n_ls, has_noise=has_noise, jitter=jitter
+    )
+    gs = max(1.0, float(np.abs(np.asarray(grads_g)).max()))
+    np.testing.assert_allclose(
+        np.asarray(v_ref), np.asarray(vals_g),
+        atol=2e-3 * max(1.0, float(np.abs(np.asarray(vals_g)).max())),
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_ref).T[:, np.argsort(perm)], np.asarray(grads_g),
+        atol=3e-3 * gs,
+    )
+    v_k, g_k = small_lml_value_grad_md(
+        Xe, Ye, te, family=family, n_ls=n_ls, has_noise=has_noise,
+        jitter=jitter, eb=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fit_ensemble_fused_matches_fit_jit_quality():
+    """Batched E-last L-BFGS over the fused multi-data LML must reach the
+    same optima as per-member fit_jit (optax L-BFGS), within a small LML
+    tolerance, on members with different datasets."""
+    from gaussian_process_transportation_tpu.models.exact_gp import (
+        fit_ensemble_fused,
+        fit_jit,
+        log_marginal_likelihood,
+    )
+
+    rng = np.random.default_rng(7)
+    E, n, D = 4, 16, 2
+    Xe = rng.uniform(-2, 2, (E, n, D)).astype(np.float32)
+    f = np.sin(1.3 * Xe[:, :, :1]) * np.cos(0.6 * Xe[:, :, 1:2])
+    Ye = (f + 0.05 * rng.standard_normal((E, n, 1))).astype(np.float32)
+    kernel = (
+        K.Constant(1.0, bounds=(1e-2, 1e2))
+        * K.RBF(jnp.ones(D, jnp.float32), bounds=(1e-1, 1e1))
+        + K.White(0.2, bounds=(1e-4, 1.0))
+    )
+    thetas, lmls = fit_ensemble_fused(
+        kernel, jnp.asarray(Xe), jnp.asarray(Ye), n_restarts=6,
+        maxiter=40, key=jax.random.PRNGKey(0),
+    )
+    assert thetas.shape == (E, 4) and np.isfinite(np.asarray(lmls)).all()
+    for e in range(E):
+        gp = fit_jit(kernel, jnp.asarray(Xe[e]), jnp.asarray(Ye[e]),
+                     n_restarts=2, maxiter=40)
+        lml_ref = float(
+            log_marginal_likelihood(gp.kernel, jnp.asarray(Xe[e]),
+                                    jnp.asarray(Ye[e]), 1e-10)
+        )
+        lml_fused = float(lmls[e])
+        # fused must not be materially worse than the optax path
+        assert lml_fused > lml_ref - 0.5, (e, lml_fused, lml_ref)
+        # and the reported LML must be consistent with its theta
+        lml_check = float(
+            log_marginal_likelihood(
+                kernel.with_theta(thetas[e]), jnp.asarray(Xe[e]),
+                jnp.asarray(Ye[e]), 1e-10,
+            )
+        )
+        assert abs(lml_check - lml_fused) < 2e-2 * max(1.0, abs(lml_fused))
+
+
 def test_theta_layout_detection():
     k1 = K.Constant(1.0) * K.RBF(jnp.ones(2)) + K.White(0.01)
     fam, n_ls, has_noise, perm = small_lml_theta_layout(k1)

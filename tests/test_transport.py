@@ -194,6 +194,43 @@ def test_batched_medium_n_scan_blocked_route_matches_vmap():
     assert np.isfinite(np.asarray(batched.std)).all()
 
 
+def test_batched_opt_transport_fits_per_member_hyperparams():
+    """fit_and_transport_batched_opt: per-member hyperopt through the
+    fused multi-data LML (the reference's sklearn-refit-per-transport
+    default, at ensemble scale).  Each member's fitted LML must beat the
+    initial kernel's, and the transport must still land on its target."""
+    from gaussian_process_transportation_tpu.models.exact_gp import (
+        fit_ensemble_fused,
+        log_marginal_likelihood,
+    )
+    from gaussian_process_transportation_tpu.models import affine as affine_core
+
+    X, deltaX, S, S1 = _make_problem()
+    kern = (
+        K.Constant(10.0, bounds=(1e-1, 1e3))
+        * K.RBF(jnp.asarray([4.0, 4.0]), bounds=(0.5, 100.0))
+        + K.White(0.01, bounds=(1e-6, 1.0))
+    )
+    targets = jnp.stack([jnp.asarray(S1) + 0.5 * i for i in range(3)])
+    res = gpt_mod.fit_and_transport_batched_opt(
+        kern, jnp.asarray(S), targets, jnp.asarray(X), jnp.asarray(deltaX),
+        n_restarts=2, maxiter=15,
+    )
+    assert res.traj.shape == (3,) + X.shape
+    assert np.isfinite(np.asarray(res.traj)).all()
+    assert np.isfinite(np.asarray(res.std)).all()
+
+    # fitted LML >= fixed-kernel LML per member (on the residual data)
+    aff_b = affine_core.fit_batched(jnp.asarray(S), targets)
+    src_al = jax.vmap(lambda a: affine_core.predict(a, jnp.asarray(S)))(aff_b)
+    delta_b = targets - src_al
+    thetas, lmls = fit_ensemble_fused(kern, src_al, delta_b, n_restarts=2,
+                                      maxiter=15)
+    for e in range(3):
+        lml0 = float(log_marginal_likelihood(kern, src_al[e], delta_b[e], 1e-10))
+        assert float(lmls[e]) >= lml0 - 1e-3, (e, float(lmls[e]), lml0)
+
+
 # ---------------------------------------------------------------------------
 # Against the real reference data
 # ---------------------------------------------------------------------------
