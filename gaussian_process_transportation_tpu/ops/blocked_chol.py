@@ -174,18 +174,19 @@ def _factor_invert_base_r2(D: Array) -> Tuple[Array, Array]:
     return LT.T, X
 
 
-def _factor_invert_base_r4(D: Array) -> Tuple[Array, Array]:
-    """Rank-4 variant: each sequential step eliminates FOUR columns via a
-    4×4 diagonal pivot (scalar Cholesky), quartering the loop length.
+def _factor_invert_base_rk(D: Array, R: int) -> Tuple[Array, Array]:
+    """Rank-R variant: each sequential step eliminates R columns via an
+    R×R diagonal pivot factored with unrolled scalar Cholesky.
 
     Rationale (VERDICT r3 #6): the serial per-step cost is dominated by
-    cross-iteration dependency latency, so rank-2 bought 5.7 → 4.7 ms on
-    the N=10240 panel chain; per-step cost grows ~1.6× per pivot-rank
-    doubling, so rank-4 should net again.  Exactness is pinned against the
-    rank-1 loop in tests/test_blocked_chol.py.
+    cross-iteration dependency latency, so halving the step count wins as
+    long as the per-step cost grows sub-2× — measured rank-2 = 14.1 ms,
+    rank-4 = 13.9 ms at N=10240 (the knee); rank-8 loses (the 8×8 scalar
+    pivot's 36-extract chain eats the halving).  Exactness vs the rank-1
+    loop is pinned in tests/test_blocked_chol.py.
     """
     SB = D.shape[0]
-    assert SB % 4 == 0
+    assert SB % R == 0
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)
@@ -194,68 +195,84 @@ def _factor_invert_base_r4(D: Array) -> Tuple[Array, Array]:
 
     def step(t, carry):
         M, LT, X = carry
-        j0 = 4 * t
-        js = [j0, j0 + 1, j0 + 2, j0 + 3]
+        j0 = R * t
+        js = [j0 + k for k in range(R)]
         # pivot rows/columns of the current trailing matrix (M stays
-        # exactly symmetric under the rank-4 update, so rows double as
+        # exactly symmetric under the rank-R update, so rows double as
         # columns without a lane<->sublane transpose)
         rows = [jnp.sum(jnp.where(row_iota == j, M, 0.0), axis=0, keepdims=True)
                 for j in js]
         colsv = [jnp.sum(jnp.where(col_iota == j, M, 0.0), axis=1, keepdims=True)
                  for j in js]
         p = [[jnp.sum(jnp.where(lane == js[k], rows[i], 0.0))
-              for k in range(i + 1)] for i in range(4)]
-        # scalar Cholesky of the 4x4 pivot block
-        inv = [None] * 4
-        l = [[0.0] * 4 for _ in range(4)]
-        inv[0] = jax.lax.rsqrt(p[0][0])
-        l[1][0] = p[1][0] * inv[0]
-        l[2][0] = p[2][0] * inv[0]
-        l[3][0] = p[3][0] * inv[0]
-        inv[1] = jax.lax.rsqrt(p[1][1] - l[1][0] * l[1][0])
-        l[2][1] = (p[2][1] - l[2][0] * l[1][0]) * inv[1]
-        l[3][1] = (p[3][1] - l[3][0] * l[1][0]) * inv[1]
-        inv[2] = jax.lax.rsqrt(p[2][2] - l[2][0] * l[2][0] - l[2][1] * l[2][1])
-        l[3][2] = (p[3][2] - l[3][0] * l[2][0] - l[3][1] * l[2][1]) * inv[2]
-        inv[3] = jax.lax.rsqrt(
-            p[3][3] - l[3][0] * l[3][0] - l[3][1] * l[3][1] - l[3][2] * l[3][2]
-        )
-        # L columns j0..j0+3 as row vectors (c, masked lane >= j) and
-        # column vectors (cT, masked sublane >= j) — same recurrence as
-        # two chained rank-2 steps, reassociated
-        c, cT = [None] * 4, [None] * 4
-        for k in range(4):
+              for k in range(i + 1)] for i in range(R)]
+        # scalar Cholesky of the RxR pivot block
+        inv = [None] * R
+        l = [[0.0] * R for _ in range(R)]
+        for i in range(R):
+            acc = p[i][i]
+            for m in range(i):
+                acc = acc - l[i][m] * l[i][m]
+            inv[i] = jax.lax.rsqrt(acc)
+            for k in range(i + 1, R):
+                s = p[k][i]
+                for m in range(i):
+                    s = s - l[k][m] * l[i][m]
+                l[k][i] = s * inv[i]
+        # L columns j0..j0+R-1 as row vectors (c, masked lane >= j) and
+        # column vectors (cT, masked sublane >= j) — R chained rank-1
+        # steps reassociated
+        c, cT = [None] * R, [None] * R
+        for k in range(R):
             rk, ck = rows[k], colsv[k]
             for m in range(k):
                 rk = rk - l[k][m] * c[m]
                 ck = ck - l[k][m] * cT[m]
             c[k] = jnp.where(lane >= js[k], rk * inv[k], 0.0)
             cT[k] = jnp.where(sub >= js[k], ck * inv[k], 0.0)
-        # rank-4 trailing update in one fused pass
-        M = M - cT[0] * c[0] - cT[1] * c[1] - cT[2] * c[2] - cT[3] * c[3]
-        for k in range(4):
+        # rank-R trailing update in one fused pass
+        upd = cT[0] * c[0]
+        for k in range(1, R):
+            upd = upd + cT[k] * c[k]
+        M = M - upd
+        for k in range(R):
             LT = jnp.where(row_iota == js[k], c[k], LT)
-        # Gauss-Jordan on the identity, four coupled rows
-        xr = [None] * 4
-        for k in range(4):
+        # Gauss-Jordan on the identity, R coupled rows
+        xr = [None] * R
+        for k in range(R):
             r = jnp.sum(jnp.where(row_iota == js[k], X, 0.0), axis=0, keepdims=True)
             for m in range(k):
                 r = r - l[k][m] * xr[m]
             xr[k] = r * inv[k]
-        below = [jnp.where(sub > js[k], cT[k], 0.0) for k in range(4)]
-        X = X - below[0] * xr[0] - below[1] * xr[1] - below[2] * xr[2] - below[3] * xr[3]
-        for k in range(4):
+        xupd = jnp.where(sub > js[0], cT[0], 0.0) * xr[0]
+        for k in range(1, R):
+            xupd = xupd + jnp.where(sub > js[k], cT[k], 0.0) * xr[k]
+        X = X - xupd
+        for k in range(R):
             X = jnp.where(row_iota == js[k], xr[k], X)
         return M, LT, X
 
-    _, LT, X = jax.lax.fori_loop(0, SB // 4, step, (D, jnp.zeros_like(D), eye))
+    _, LT, X = jax.lax.fori_loop(0, SB // R, step, (D, jnp.zeros_like(D), eye))
     return LT.T, X
+
+
+def _factor_invert_base_r4(D: Array) -> Tuple[Array, Array]:
+    return _factor_invert_base_rk(D, 4)
+
+
+def _factor_invert_base_r8(D: Array) -> Tuple[Array, Array]:
+    return _factor_invert_base_rk(D, 8)
+
+
+def _factor_invert_base_r16(D: Array) -> Tuple[Array, Array]:
+    return _factor_invert_base_rk(D, 16)
 
 
 # Default sequential-pivot rank for the panel kernel's diagonal sub-block
 # factorization; measured on v5e-1 at N=10240 (scripts/bench_blocked_chol.py).
 _PIVOT_BASES = {1: _factor_invert_base, 2: _factor_invert_base_r2,
-                4: _factor_invert_base_r4}
+                4: _factor_invert_base_r4, 8: _factor_invert_base_r8,
+                16: _factor_invert_base_r16}
 # Same-session A/B at N=10240/HIGH on v5e-1 (scripts/bench_blocked_chol.py):
 # rank-2 = 14.1 ms (25.58 TFLOP/s), rank-4 = 13.9 ms (25.95 TFLOP/s),
 # alpha rel err 1.03e-3 vs f64 unchanged.

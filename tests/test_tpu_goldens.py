@@ -248,6 +248,51 @@ def test_smc_step_on_tpu_matches_f64_reweight():
 
 
 @requires_tpu
+def test_fit_ensemble_fused_on_tpu_improves_members():
+    """Batched fused hyperopt on the chip: every member's fitted LML must
+    beat its initial-kernel LML, and the fitted thetas must reproduce the
+    reported LML on the host in f64."""
+    from gaussian_process_transportation_tpu.models.exact_gp import (
+        fit_ensemble_fused,
+        log_marginal_likelihood,
+    )
+
+    rng = np.random.default_rng(5)
+    E, n, D = 64, 20, 2
+    Xe = rng.uniform(-2, 2, (E, n, D)).astype(np.float32)
+    f = np.sin(1.3 * Xe[:, :, :1]) * np.cos(0.6 * Xe[:, :, 1:2])
+    Ye = (f + 0.05 * rng.standard_normal((E, n, 1))).astype(np.float32)
+    kernel = (
+        K.Constant(1.0, bounds=(1e-2, 1e2))
+        * K.RBF(jnp.ones(D, jnp.float32), bounds=(1e-1, 1e1))
+        + K.White(0.2, bounds=(1e-4, 1.0))
+    )
+    thetas, lmls = fit_ensemble_fused(
+        kernel, jnp.asarray(Xe), jnp.asarray(Ye), n_restarts=4, maxiter=30,
+        key=jax.random.PRNGKey(0),
+    )
+    thetas, lmls = np.asarray(thetas), np.asarray(lmls)
+    assert np.isfinite(thetas).all() and np.isfinite(lmls).all()
+    import jax as _jax
+    cpu = _jax.devices("cpu")[0]
+    for e in range(0, E, 16):
+        with _jax.default_device(cpu):
+            x64 = jnp.asarray(Xe[e], jnp.float64)
+            y64 = jnp.asarray(Ye[e], jnp.float64)
+            lml0 = float(log_marginal_likelihood(kernel, x64, y64, 1e-10))
+            lml_fit = float(
+                log_marginal_likelihood(
+                    kernel.with_theta(jnp.asarray(thetas[e], jnp.float64)),
+                    x64, y64, 1e-10,
+                )
+            )
+        assert lml_fit >= lml0 - 1e-3, (e, lml_fit, lml0)
+        # the chip-reported LML agrees with the host-f64 recompute
+        assert abs(lml_fit - float(lmls[e])) < 5e-2 * max(1.0, abs(lml_fit)), (
+            e, lml_fit, float(lmls[e]))
+
+
+@requires_tpu
 def test_blocked_lml_grad_step_improves_at_n10240():
     """One gradient step of the panel LML at the full bench size N=10240
     increases the LML (the fit_blocked L-BFGS inner step, on hardware)."""
