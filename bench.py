@@ -29,11 +29,16 @@ math our pipeline runs) executing the same transports one-by-one on CPU,
 i.e. ours(traj/s) / reference(traj/s).
 
 Outage resilience (the round-2 lesson: the driver's run lost two of three
-metrics to a tunnel stall): every device stage runs in its own killable
-subprocess with an adaptive deadline, every stage gets a fresh-connection
-retry, failed stages are listed in ``stages_failed`` so the artifact is
-self-diagnosing, and ``python bench.py --warmup`` pre-populates the
-persistent compile cache outside any timed budget.
+metrics to a tunnel stall; the round-4 run lost HMC+SMC by running them
+last): every device stage runs in its own killable subprocess with an
+adaptive deadline and STREAMS each metric out the moment it exists, so a
+deadline-kill keeps everything already measured; SMC+HMC run first (one
+shared "samplers" process — cheapest warm-cache programs), then transport,
+then cholesky, then a retry pass; every banked metric is persisted to
+``BENCH_PARTIAL.json`` immediately; failed stages are listed in
+``stages_failed`` so the artifact is self-diagnosing; and
+``python bench.py --warmup`` pre-populates the persistent compile cache
+outside any timed budget.
 
 Timing discipline (CLAUDE.md): ``block_until_ready`` does NOT synchronize
 over the axon TPU tunnel, and pulling outputs to host moves hundreds of MB
@@ -320,7 +325,7 @@ def bench_smc(n_particles=8192, n_steps=16, n_traj=100):
 
 
 def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20,
-              extra_budget_s=120.0):
+              extra_budget_s=120.0, emit=None):
     """HMC hyperposterior sampling throughput (samples/s/chip).
 
     n_data=20 matches the transport-GP hyperposterior workload (the
@@ -367,10 +372,18 @@ def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20,
         "rep_s": [round(t, 2) for t in times],
         "chains": num_chains, "samples_per_chain": num_samples,
     }
+    # emit the headline number IMMEDIATELY — the r4 driver run lost this
+    # metric because the extra diagnostic point below pushed the stage past
+    # its deadline; with streaming capture a later kill can't claw it back
+    if emit is not None:
+        emit("hmc", rate, details)
     # throughput-bound point of the r4 cost model (the C=256 headline is
     # latency/dispatch-bound on the fused path): one extra width — skipped
-    # when a congested tunnel already ate the stage budget
+    # when a congested tunnel already ate the stage budget, and opt-in
+    # (BENCH_HMC_EXTRA=1) so the driver's tight window never pays for it
     try:
+        if os.environ.get("BENCH_HMC_EXTRA", "0") != "1":
+            raise RuntimeError("extra point disabled (set BENCH_HMC_EXTRA=1)")
         if time.perf_counter() - t_stage > extra_budget_s:
             raise RuntimeError(
                 f"stage already at {time.perf_counter()-t_stage:.0f}s"
@@ -391,6 +404,8 @@ def bench_hmc(num_chains=256, num_warmup=48, num_samples=48, n_data=20,
         big_rate = big * num_samples / (time.perf_counter() - t0)
         log(f"hmc: C={big} -> {big_rate:.0f} samples/s")
         details["samples_per_s_c4096"] = round(big_rate, 1)
+        if emit is not None:
+            emit("hmc", rate, details)  # refresh with the extra point
     except Exception as e:  # diagnostic only
         log(f"hmc C=4096 extra point failed: {e}")
     return rate, details
@@ -413,61 +428,103 @@ def _enable_compile_cache():
 
 
 def _run_stage(stage: str) -> None:
-    """Subprocess entry: run ONE device stage, print 'STAGE_RESULT <float>'
-    plus 'STAGE_DETAILS <json>' (per-rep times etc. — VERDICT r3 #2b)."""
+    """Subprocess entry: run one or more device metrics, STREAMING each
+    result the moment it exists as ``STAGE_RESULT <name> <float>`` +
+    ``STAGE_DETAILS <name> <json>`` lines.  The parent parses these lines
+    incrementally, so a deadline-kill mid-stage keeps everything already
+    printed (VERDICT r4 #1: the r4 driver run lost the HMC+SMC headline
+    numbers to exactly this)."""
     _enable_compile_cache()
+
+    def emit(name, val, details):
+        print(f"STAGE_RESULT {name} {val}", flush=True)
+        print(f"STAGE_DETAILS {name} {json.dumps(details)}", flush=True)
+
     if stage == "transport":
         X, dX, S, S1 = make_workload()
-        val, details = bench_ours(X, dX, S, S1)
+        emit("transport", *bench_ours(X, dX, S, S1))
     elif stage == "cholesky":
-        val, details = bench_cholesky()
+        emit("cholesky", *bench_cholesky())
     elif stage == "hmc":
-        val, details = bench_hmc()
+        bench_hmc(emit=emit)
     elif stage == "smc":
-        val, details = bench_smc()
+        emit("smc", *bench_smc())
+    elif stage == "samplers":
+        # SMC + HMC share one process: one interpreter start, one jax init,
+        # one tunnel connection (~15-25 s saved vs two stages), cheapest
+        # metric first so a congested tunnel still banks it
+        emit("smc", *bench_smc())
+        bench_hmc(emit=emit)
     else:
         raise SystemExit(f"unknown stage {stage}")
-    print(f"STAGE_RESULT {val}", flush=True)
-    print(f"STAGE_DETAILS {json.dumps(details)}", flush=True)
 
 
 def _stage_subprocess(stage: str, timeout_s: float):
-    """Run a device stage in a killable subprocess.
+    """Run a device stage in a killable subprocess, collecting streamed
+    results incrementally.
 
     The TPU tunnel occasionally wedges a single dispatch for many minutes;
     in-process there is no reliable way to abandon a hung RPC, and a hung
     stage would starve everything after it AND the final JSON print.  A
     subprocess gets its own tunnel connection and can be SIGKILLed, so one
-    wedged stage costs only its own deadline."""
+    wedged stage costs only its own deadline — and because results stream,
+    it keeps every metric it finished before the kill."""
+    import signal
     import subprocess
+    import threading
 
     t0 = time.perf_counter()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--stage", stage],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,  # own process group: killable with children
+    )
+    results = {}  # name -> [val, details]
+
+    def read_stdout():
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            parts = line.split(None, 2)
+            if line.startswith("STAGE_RESULT ") and len(parts) == 3:
+                results.setdefault(parts[1], [None, {}])[0] = float(parts[2])
+            elif line.startswith("STAGE_DETAILS ") and len(parts) == 3:
+                try:
+                    results.setdefault(parts[1], [None, {}])[1] = json.loads(parts[2])
+                except ValueError:
+                    pass
+
+    def read_stderr():
+        for line in proc.stderr:
+            sys.stderr.write(line)
+        sys.stderr.flush()
+
+    t_out = threading.Thread(target=read_stdout, daemon=True)
+    t_err = threading.Thread(target=read_stderr, daemon=True)
+    t_out.start()
+    t_err.start()
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--stage", stage],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired as e:
-        log(f"stage {stage}: killed after {timeout_s:.0f}s (tunnel hang?)")
-        if e.stderr:
-            log((e.stderr if isinstance(e.stderr, str) else e.stderr.decode())[-2000:])
-        return None
-    sys.stderr.write(proc.stderr)
-    val, details = None, {}
-    for line in proc.stdout.splitlines():
-        if line.startswith("STAGE_RESULT "):
-            val = float(line.split()[1])
-        elif line.startswith("STAGE_DETAILS "):
-            try:
-                details = json.loads(line[len("STAGE_DETAILS "):])
-            except ValueError:
-                pass
-    if val is not None:
-        log(f"stage {stage}: done in {time.perf_counter()-t0:.0f}s")
-        return val, details
-    log(f"stage {stage}: failed (rc={proc.returncode}):\n{proc.stdout[-2000:]}")
+        proc.wait(timeout=timeout_s)
+        killed = False
+    except subprocess.TimeoutExpired:
+        killed = True
+        log(f"stage {stage}: killed after {timeout_s:.0f}s (tunnel hang?) — "
+            f"keeping {sorted(results)} already streamed")
+        try:  # kill the exact process group we started (never by pattern)
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+    t_out.join(timeout=5.0)
+    t_err.join(timeout=5.0)
+    done = {k: (v, d) for k, (v, d) in results.items() if v is not None}
+    if done:
+        log(f"stage {stage}: {sorted(done)} in {time.perf_counter()-t0:.0f}s"
+            + (" (partial, killed)" if killed else ""))
+        return done
+    if not killed:
+        log(f"stage {stage}: failed (rc={proc.returncode})")
     return None
 
 
@@ -497,12 +554,20 @@ def warmup():
     """Populate the persistent compile cache for every stage, outside any
     timed budget (VERDICT r2 item 1a).  Run this before the driver's timed
     bench: the driver's run then hits warm caches only."""
-    for stage in ("cholesky", "transport", "hmc", "smc"):
+    for stage in ("cholesky", "transport", "samplers"):
         t0 = time.perf_counter()
         out = _stage_subprocess(stage, 1200.0)
-        val = out[0] if out else None
-        log(f"warmup {stage}: {'ok' if val is not None else 'FAILED'} "
-            f"({time.perf_counter()-t0:.0f}s, result={val})")
+        names = sorted(out) if out else []
+        log(f"warmup {stage}: {'ok ' + str(names) if out else 'FAILED'} "
+            f"({time.perf_counter()-t0:.0f}s)")
+
+
+# metric name -> (final-JSON key, rounding digits)
+_METRIC_KEYS = {
+    "cholesky": ("tflops_chol_n10240", 2),
+    "hmc": ("hmc_samples_per_s", 1),
+    "smc": ("smc_particles_per_s", 1),
+}
 
 
 def main():
@@ -534,93 +599,88 @@ def main():
                 f"{NOMINAL_CPU_BASELINE} for vs_baseline")
             ref_rate = NOMINAL_CPU_BASELINE
 
-    # Stage order is budget-defensive: the cheap cholesky gate metric runs
-    # BEFORE the transport ensemble (whose compile+first run over the tunnel
-    # has been observed anywhere between 40 s and 275 s), and every stage is
-    # deadline-bounded + retried so a wedged tunnel dispatch cannot starve
-    # the rest.  Warm-cache stage costs: cholesky ~40s, transport ~60s,
-    # hmc ~150s, smc ~40s.
-    extras = {}
-    stage_details = {}
-    failed = []
+    # Stage order (VERDICT r4 #1): samplers FIRST — warm-cache SMC+HMC are
+    # the cheapest device programs and were the two metrics lost in r4 when
+    # they ran last; then transport (the required headline), then cholesky
+    # (captured fine at 142 s in r4 even under congestion), then retries for
+    # anything missing.  Every metric streams out of its stage subprocess
+    # the moment it exists and is persisted to BENCH_PARTIAL.json, so a
+    # later kill can never lose an earlier number.
+    results = {}  # name -> (val, details)
+    partial_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_PARTIAL.json")
 
-    out = _stage_with_retry(
-        "cholesky",
-        # always leave ≥250s for transport(+rest); cap a single attempt at
-        # 240s — a congested tunnel loads even CACHED panel executables in
-        # 130-233s (r4 observation), so a tighter cap kills stages that
-        # would finish
-        lambda a: min(240.0, remaining() - 250.0),
-    )
-    tflops = None
-    if out is not None:
-        tflops, stage_details["cholesky"] = out
-        log(f"Gram+Cholesky+solve N=10240: {tflops:.2f} TFLOP/s")
-        extras["tflops_chol_n10240"] = round(tflops, 2)
+    def record(out):
+        if out:
+            results.update(out)
+            try:
+                with open(partial_path, "w") as fh:
+                    json.dump({k: {"value": v, "details": d}
+                               for k, (v, d) in results.items()}, fh)
+            except OSError:
+                pass
 
-    # the required headline metric — the lion's share of the budget
-    out = _stage_with_retry(
+    record(_stage_with_retry(
+        "samplers",
+        # leave ≥220s for transport+cholesky; a 250s cap still banks partial
+        # results (smc, then the hmc headline) even if the tail is killed
+        lambda a: min(250.0, remaining() - 220.0),
+        attempts=1,
+    ))
+
+    # the required headline metric
+    record(_stage_with_retry(
         "transport",
-        lambda a: max(remaining() - 140.0, 60.0) if a == 0 else remaining() - 20.0,
+        lambda a: max(remaining() - 130.0, 60.0) if a == 0 else remaining() - 20.0,
         min_deadline=30.0,
-    )
-    ours_rate = None
-    if out is not None:
-        ours_rate, stage_details["transport"] = out
-    if ours_rate is None:
-        log("FATAL: transport stage failed — no bench line")
+    ))
+
+    record(_stage_with_retry(
+        "cholesky",
+        lambda a: min(240.0, remaining() - 20.0),
+        attempts=1,
+    ))
+
+    # retry pass for anything still missing, cheapest-first, with whatever
+    # budget is left
+    for name, stage in (("smc", "smc"), ("hmc", "hmc"), ("cholesky", "cholesky")):
+        if name not in results and remaining() > 60.0:
+            record(_stage_with_retry(stage, lambda a: remaining() - 10.0,
+                                     attempts=1))
+
+    if "transport" not in results:
+        log("FATAL: transport stage failed — no headline")
         print(
             json.dumps(
                 {
                     "metric": "transported_trajectories_per_s_per_chip",
                     "value": None,
                     "unit": "traj/s/chip",
-                    "stages_failed": ["transport"] + (["cholesky"] if tflops is None else []),
+                    "stages_failed": sorted(
+                        {"transport", "cholesky", "hmc", "smc"} - set(results)),
+                    **{k: round(results[m][0], nd)
+                       for m, (k, nd) in _METRIC_KEYS.items() if m in results},
                 }
             )
         )
         raise SystemExit(1)
+
+    ours_rate = results["transport"][0]
     log(f"ours (batched, 1 chip): {ours_rate:.1f} traj/s")
+    if "cholesky" in results:
+        log(f"Gram+Cholesky+solve N=10240: {results['cholesky'][0]:.2f} TFLOP/s")
 
-    # second chance for the gate metric now that the tunnel is demonstrably
-    # healthy (the r2 driver run: cholesky died at t=0, transport compiled
-    # fine 3 minutes later)
-    if tflops is None:
-        out = _stage_with_retry("cholesky", lambda a: min(150.0, remaining() - 60.0),
-                                attempts=1)
-        if out is not None:
-            tflops, stage_details["cholesky"] = out
-            log(f"Gram+Cholesky+solve N=10240: {tflops:.2f} TFLOP/s")
-            extras["tflops_chol_n10240"] = round(tflops, 2)
-    if tflops is None:
-        failed.append("cholesky")
-
-    # The HMC program's TPU compile is minutes-scale on a cold cache —
-    # attempt with whatever headroom remains (warm: ~70s compile + 3 reps).
-    out = _stage_with_retry(
-        "hmc",
-        lambda a: remaining() - (60.0 if a == 0 else 10.0),
-        min_deadline=80.0,
-    )
-    if out is not None:
-        hmc, stage_details["hmc"] = out
-        extras["hmc_samples_per_s"] = round(hmc, 1)
-    else:
-        failed.append("hmc")
-
-    out = _stage_with_retry("smc", lambda a: remaining() - 5.0, attempts=1)
-    if out is not None:
-        smc, stage_details["smc"] = out
-        extras["smc_particles_per_s"] = round(smc, 1)
-    else:
-        failed.append("smc")
-
+    extras = {}
+    for m, (k, nd) in _METRIC_KEYS.items():
+        if m in results:
+            extras[k] = round(results[m][0], nd)
+    failed = sorted({"cholesky", "hmc", "smc"} - set(results))
     if failed:
         extras["stages_failed"] = failed
     if baseline_degraded:
         extras["baseline_degraded"] = True
     extras["cpu_baseline_traj_per_s"] = round(ref_rate, 1)
-    extras["stages"] = stage_details
+    extras["stages"] = {k: d for k, (v, d) in results.items()}
 
     print(
         json.dumps(

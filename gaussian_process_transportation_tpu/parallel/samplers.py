@@ -241,6 +241,11 @@ def hmc_batched(
     """
     T, E = init_positions.shape
     if chain_keys is None:
+        if key is None:
+            raise ValueError(
+                "hmc_batched needs either `key` or `chain_keys` "
+                "(both were None)"
+            )
         chain_keys = jax.random.split(key, E)
 
     def step_keys(phase, s):
@@ -684,6 +689,60 @@ def _fused_local_runner(family, n_ls, has_noise, jitter, use_kernel,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _fused_mesh_runner(mesh, family, n_ls, has_noise, jitter, use_kernel,
+                       num_warmup, num_samples, kw_items):
+    """Mesh twin of :func:`_fused_local_runner`: the jitted ``shard_map``
+    runner cached on (mesh, static config) — a fresh ``jax.jit(shard_map)``
+    per call re-incurs the ~1 s host-side retrace the local cache was added
+    to avoid (ADVICE r4)."""
+    from ..ops.fused_lml import small_lml_value_grad, small_lml_value_grad_ref
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    kw = dict(kw_items)
+
+    def run_local(X, Y2, lo_c, hi_c, q0_te, cks):
+        def lp_and_grad(theta_te):
+            fn = small_lml_value_grad if use_kernel else small_lml_value_grad_ref
+            val, grad = fn(
+                X, Y2, theta_te, family=family, n_ls=n_ls,
+                has_noise=has_noise, jitter=jitter,
+            )
+            z_lo = (theta_te - lo_c) * 20.0
+            z_hi = (theta_te - hi_c) * 20.0
+            barrier = jnp.sum(
+                jax.nn.softplus(-z_lo) + jax.nn.softplus(z_hi), axis=0
+            )
+            d_barrier = 20.0 * (jax.nn.sigmoid(z_hi) - jax.nn.sigmoid(-z_lo))
+            lp = val - 100.0 * barrier
+            g = grad - 100.0 * d_barrier
+            bad = ~jnp.isfinite(lp)
+            lp = jnp.where(bad, -1e10, lp)
+            g = jnp.where(jnp.isfinite(g) & ~bad[None, :], g, 0.0)
+            return lp, g
+
+        return hmc_batched(
+            lp_and_grad, q0_te, num_warmup=num_warmup,
+            num_samples=num_samples, chain_keys=cks, **kw,
+        )
+
+    return jax.jit(
+        shard_map(
+            run_local, mesh=mesh,
+            in_specs=(P(None, None), P(None, None), P(None, None),
+                      P(None, None), P(None, "ens"), P("ens")),
+            out_specs=(P("ens"), {"step_size": P("ens"),
+                                  "inv_mass": P("ens"),
+                                  "mean_accept": P("ens")}),
+            check_vma=False,
+        )
+    )
+
+
 def _sample_gp_posterior_fused(
     kernel, X, Y2, key, layout, lo, hi, num_chains, num_warmup, num_samples,
     mesh, jitter, use_kernel=None, **kw,
@@ -708,23 +767,6 @@ def _sample_gp_posterior_fused(
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
 
-    def lp_and_grad(theta_te):
-        fn = small_lml_value_grad if use_kernel else small_lml_value_grad_ref
-        val, grad = fn(
-            X, Y2, theta_te, family=family, n_ls=n_ls, has_noise=has_noise,
-            jitter=jitter,
-        )
-        z_lo = (theta_te - lo_c) * 20.0
-        z_hi = (theta_te - hi_c) * 20.0
-        barrier = jnp.sum(jax.nn.softplus(-z_lo) + jax.nn.softplus(z_hi), axis=0)
-        d_barrier = 20.0 * (jax.nn.sigmoid(z_hi) - jax.nn.sigmoid(-z_lo))
-        lp = val - 100.0 * barrier
-        g = grad - 100.0 * d_barrier
-        bad = ~jnp.isfinite(lp)
-        lp = jnp.where(bad, -1e10, lp)
-        g = jnp.where(jnp.isfinite(g) & ~bad[None, :], g, 0.0)
-        return lp, g
-
     k_init, k_run = jax.random.split(key)
     u = jax.random.uniform(k_init, (num_chains, T))
     inits = lo + u * (hi - lo) * 0.5 + 0.25 * (hi - lo)  # central half of the box
@@ -732,12 +774,6 @@ def _sample_gp_posterior_fused(
     # per-CHAIN key streams: the draws depend only on a chain's own key, so
     # sharded and unsharded runs are bit-identical (multihost stage-3 gate)
     chain_keys = jax.random.split(k_run, num_chains)
-
-    def run_local(q0_te, cks):
-        return hmc_batched(
-            lp_and_grad, q0_te, num_warmup=num_warmup,
-            num_samples=num_samples, chain_keys=cks, **kw,
-        )
 
     if mesh is not None and num_chains % mesh.shape["ens"]:
         # shard_map needs the lane (chain) axis divisible by 'ens'; tiny
@@ -750,25 +786,16 @@ def _sample_gp_posterior_fused(
         )
         samples_c, info = run(X, Y2, lo_c, hi_c, inits_te, chain_keys)
     else:
-        try:
-            from jax import shard_map
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
         from .mesh import global_put
 
         inits_te = global_put(inits_te, NamedSharding(mesh, P(None, "ens")))
         chain_keys = global_put(chain_keys, NamedSharding(mesh, P("ens")))
-
-        samples_c, info = jax.jit(
-            shard_map(
-                run_local, mesh=mesh,
-                in_specs=(P(None, "ens"), P("ens")),
-                out_specs=(P("ens"), {"step_size": P("ens"),
-                                      "inv_mass": P("ens"),
-                                      "mean_accept": P("ens")}),
-                check_vma=False,
-            )
-        )(inits_te, chain_keys)
+        run = _fused_mesh_runner(
+            mesh, family, n_ls, bool(has_noise), float(jitter),
+            bool(use_kernel), int(num_warmup), int(num_samples),
+            tuple(sorted(kw.items())),
+        )
+        samples_c, info = run(X, Y2, lo_c, hi_c, inits_te, chain_keys)
 
     samples = samples_c[:, :, inv_perm]  # back to kernel.theta ordering
     diags = dict(

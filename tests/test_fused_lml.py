@@ -51,6 +51,10 @@ CASES = [
     ("rbf-iso", lambda: K.Constant(2.0) * K.RBF(0.7) + K.White(0.05), 2),
     ("matern52", lambda: K.Constant(1.5) * K.Matern(jnp.ones(2), nu=2.5) + K.White(0.02), 2),
     ("matern32-no-noise", lambda: K.Constant(1.0) * K.Matern(0.8, nu=1.5), 3),
+    # matern12's dphi is ~-5e17 at s=0 (diagonal): the gradient stays
+    # finite only because the diagonal d2 term is exactly 0 — assert the
+    # 0*huge==0 cancellation holds end-to-end (ADVICE r4)
+    ("matern12", lambda: K.Constant(1.2) * K.Matern(jnp.ones(2), nu=0.5) + K.White(0.03), 2),
 ]
 
 
