@@ -4,7 +4,15 @@ from .ensemble import (
     posterior_transport_ensemble,
     make_ensemble_train_step,
 )
-from .samplers import hmc, nuts, sample_gp_posterior, split_rhat, effective_sample_size
+from .samplers import (
+    hmc,
+    hmc_batched,
+    nuts,
+    sample_gp_posterior,
+    split_rhat,
+    effective_sample_size,
+)
+from .checkpointed import run_hmc_checkpointed, run_hmc_batched_checkpointed
 from .sharded_chol import ShardedBlockedCholesky, sharded_gram_cholesky_solve
 from .sharded_lml import (
     fit_sharded,
@@ -21,7 +29,10 @@ __all__ = [
     "posterior_transport_ensemble",
     "make_ensemble_train_step",
     "hmc",
+    "hmc_batched",
     "nuts",
+    "run_hmc_checkpointed",
+    "run_hmc_batched_checkpointed",
     "sample_gp_posterior",
     "split_rhat",
     "effective_sample_size",

@@ -248,6 +248,29 @@ def hmc_batched(
             )
         chain_keys = jax.random.split(key, E)
 
+    state, step, inv_mass = hmc_batched_warmup(
+        lp_and_grad_batched, init_positions, chain_keys, num_warmup,
+        num_leapfrog, initial_step_size, target_accept,
+    )
+    state, samples, accepts = hmc_batched_sample_range(
+        lp_and_grad_batched, state, chain_keys, 0, num_samples,
+        step, inv_mass, num_leapfrog,
+    )
+    info = dict(
+        step_size=step,
+        inv_mass=jnp.transpose(inv_mass, (1, 0)),
+        mean_accept=jnp.mean(accepts, axis=0),
+    )
+    return samples, info
+
+
+def _batched_machinery(lp_and_grad_batched, chain_keys, T, num_leapfrog):
+    """(step_keys, one_step) shared by the batched warmup and sampling
+    phases.  All randomness derives per chain from ``chain_keys[e]`` folded
+    by (phase, step-index) — so any [start, stop) slice of steps draws the
+    exact keys the monolithic run would (checkpointed resume is
+    bit-identical by construction)."""
+
     def step_keys(phase, s):
         """(E,) per-chain keys for step s of warmup-1/warmup-2/sampling."""
         return jax.vmap(
@@ -287,6 +310,29 @@ def hmc_batched(
         )
         return state, accept_prob
 
+    return step_keys, one_step
+
+
+def hmc_batched_warmup(
+    lp_and_grad_batched: Callable[[Array], Tuple[Array, Array]],
+    init_positions: Array,
+    chain_keys: Array,
+    num_warmup: int = 500,
+    num_leapfrog: int = 16,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> Tuple[Tuple[Array, Array, Array], Array, Array]:
+    """Adaptation phase of :func:`hmc_batched` alone: dual-averaging step
+    size + Welford diagonal mass on (E,)/(T, E) vectors.  Returns
+    (state (q, lp, g), step (E,), inv_mass (T, E)) — exactly the carry
+    :func:`hmc_batched` holds when sampling starts, so checkpointed runs
+    (``parallel.checkpointed.run_hmc_batched_checkpointed``) resume
+    bit-identically."""
+    T, E = init_positions.shape
+    step_keys, one_step = _batched_machinery(
+        lp_and_grad_batched, chain_keys, T, num_leapfrog
+    )
+
     lp0, g0 = lp_and_grad_batched(init_positions)
     state0 = (init_positions, lp0, g0)
 
@@ -320,22 +366,37 @@ def hmc_batched(
     )
     state, da, _, _, _, inv_mass = carry
     step = jnp.exp(da["log_step_avg"])
+    return state, step, inv_mass
+
+
+def hmc_batched_sample_range(
+    lp_and_grad_batched: Callable[[Array], Tuple[Array, Array]],
+    state: Tuple[Array, Array, Array],
+    chain_keys: Array,
+    start: int,
+    stop: int,
+    step: Array,
+    inv_mass: Array,
+    num_leapfrog: int = 16,
+) -> Tuple[Tuple[Array, Array, Array], Array, Array]:
+    """Draw samples [start, stop) of the SAME stream :func:`hmc_batched`
+    produces — step s uses key fold_in(fold_in(chain_key, 2), s) regardless
+    of segmenting, so segmented runs are bit-identical to monolithic ones.
+    Returns (state, samples (E, stop-start, T), accept_probs (stop-start, E))."""
+    T = state[0].shape[0]
+    step_keys, one_step = _batched_machinery(
+        lp_and_grad_batched, chain_keys, T, num_leapfrog
+    )
 
     def sample_step(state, s):
         state, a = one_step(state, step_keys(2, s), step, inv_mass)
         return state, (state[0], a)
 
     state, (samples, accepts) = jax.lax.scan(
-        sample_step, state, jnp.arange(num_samples)
+        sample_step, state, jnp.arange(start, stop)
     )
     # (S, T, E) -> (E, S, T)
-    samples = jnp.transpose(samples, (2, 0, 1))
-    info = dict(
-        step_size=step,
-        inv_mass=jnp.transpose(inv_mass, (1, 0)),
-        mean_accept=jnp.mean(accepts, axis=0),
-    )
-    return samples, info
+    return state, jnp.transpose(samples, (2, 0, 1)), accepts
 
 
 def nuts(
