@@ -38,13 +38,19 @@ def transport_ensemble(
     traj: Array,  # (N, D)
     delta: Array,  # (N, D)
     mesh: Optional[Mesh] = None,
+    ori: Optional[Array] = None,  # (N, 4) demo quaternions (3-D maps)
 ) -> gpt_mod.TransportResult:
     """Fit+apply E independent transports as one sharded computation."""
-    f = lambda tgts: gpt_mod.fit_and_transport_batched(kernel, source, tgts, traj, delta)
+    f = lambda tgts: gpt_mod.fit_and_transport_batched(
+        kernel, source, tgts, traj, delta, ori=ori
+    )
     if mesh is not None:
         targets = global_put(targets, ensemble_sharding(mesh))
+        result_tree = gpt_mod.TransportResult(
+            0, 0, 0, 0, 0, None if ori is None else 0
+        )
         out_sharding = jax.tree_util.tree_map(
-            lambda _: ensemble_sharding(mesh), gpt_mod.TransportResult(0, 0, 0, 0, 0)
+            lambda _: ensemble_sharding(mesh), result_tree
         )
         f = jax.jit(f, out_shardings=out_sharding)
     else:

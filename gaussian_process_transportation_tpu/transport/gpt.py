@@ -77,6 +77,7 @@ class TransportResult(NamedTuple):
     delta: Array  # J_Φ · ΔX                 (N, D)
     delta_var: Array  # J_Ψvar (J_γ ΔX)²     (N, D)
     min_abs_det: Array  # diffeo diagnostic  ()
+    ori: Optional[Array] = None  # q(J_Φ)·q_demo (N, 4), when ori passed (3-D)
 
 
 def fit_pipeline(
@@ -127,10 +128,16 @@ def transport_apply(
     gp: gp_core.ExactGP,
     traj: Array,
     delta: Array,
+    ori: Optional[Array] = None,
 ) -> TransportResult:
     """The full uncertainty-aware transport of one policy — one fused graph.
 
-    Math parity: ``policy_transportation.py:26-59``.
+    Math parity: ``policy_transportation.py:26-59``; with ``ori`` (N, 4)
+    scalar-first demo quaternions (3-D maps only) also the orientation
+    transport of ``policy_transportation.py:61-78`` — closest rotation to
+    J_Φ via the batched squaring Bar-Itzhack
+    (``ops.quaternion.from_rotation_matrix_iter``; no per-point eigh
+    custom call), composed with the demo quaternion.
 
     Layout: all large intermediates are query-last — (N, Q) / (D, N, Q) /
     (P, D, Q) — so the big axis Q (trajectory length) sits in the TPU lane
@@ -188,7 +195,19 @@ def transport_apply(
     dvar_q = jnp.einsum("dq,dq->q", JvarT, wT**2, precision=HI)  # same across P
     delta_var = jnp.broadcast_to(dvar_q[:, None], traj_new.shape)
 
-    return TransportResult(traj_new, std, delta_newT.T, delta_var, min_abs_det)
+    ori_new = None
+    if ori is not None:
+        if Jphi.shape[-1] != 3 or Jphi.shape[-2] != 3:
+            raise ValueError(
+                f"Orientation transport requires a 3-D map; J_Φ is "
+                f"{Jphi.shape[-2:]} (reference prints a warning and skips: "
+                f"policy_transportation.py:75-77)"
+            )
+        q_phi = quat.from_rotation_matrix_iter(Jphi)  # (Q, 4)
+        ori_new = quat.multiply(q_phi, jnp.asarray(ori))
+
+    return TransportResult(traj_new, std, delta_newT.T, delta_var, min_abs_det,
+                           ori_new)
 
 
 @partial(jax.jit, static_argnames=("do_scale", "do_rotation"))
@@ -201,6 +220,7 @@ def fit_and_transport(
     do_scale: bool = False,
     do_rotation: bool = True,
     jitter: float = 1e-10,
+    ori: Optional[Array] = None,
 ) -> TransportResult:
     """End-to-end: γ fit + Ψ conditioning + apply, one compiled program.
 
@@ -216,7 +236,7 @@ def fit_and_transport(
         do_rotation=do_rotation,
         jitter=jitter,
     )
-    return transport_apply(aff, gp, traj, delta)
+    return transport_apply(aff, gp, traj, delta, ori=ori)
 
 
 @partial(jax.jit, static_argnames=("do_scale", "do_rotation"))
@@ -229,6 +249,7 @@ def fit_and_transport_batched(
     do_scale: bool = False,
     do_rotation: bool = True,
     jitter: float = 1e-10,
+    ori: Optional[Array] = None,
 ) -> TransportResult:
     """One shared (source, traj, delta) transported onto a batch of targets
     (E, N, D) — the ensemble workload — as a single program with
@@ -268,10 +289,11 @@ def fit_and_transport_batched(
                 gp = gp_core.condition_blocked(
                     kernel, src_al, tgt - src_al, jitter=jitter, block=512
                 )
-                return transport_apply(aff, gp, traj, delta)
+                return transport_apply(aff, gp, traj, delta, ori=ori)
             return fit_and_transport(
                 kernel, source_distribution, tgt, traj, delta,
                 do_scale=do_scale, do_rotation=do_rotation, jitter=jitter,
+                ori=ori,
             )
 
         def step(_, tgt):
@@ -303,7 +325,7 @@ def fit_and_transport_batched(
         gp = gp_core.ExactGP(
             kernel=kernel, X=X, Y=Y, L=L, alpha=alpha, K_inv=K_inv, jitter=jitter
         )
-        return transport_apply(aff, gp, traj, delta)
+        return transport_apply(aff, gp, traj, delta, ori=ori)
 
     return jax.vmap(apply_one)(aff_b, src_al, delta_b, L_b, alpha_b, Kinv_b)
 
@@ -322,6 +344,7 @@ def fit_and_transport_batched_opt(
     do_scale: bool = False,
     do_rotation: bool = True,
     jitter: float = 1e-10,
+    ori: Optional[Array] = None,
 ) -> TransportResult:
     """Batched multi-target transport with PER-MEMBER hyperparameter
     optimization — the reference's actual default behavior (sklearn GPR
@@ -378,7 +401,7 @@ def fit_and_transport_batched_opt(
         gp = gp_core.ExactGP(
             kernel=kn, X=X, Y=Y, L=L, alpha=alpha, K_inv=K_inv, jitter=jitter
         )
-        return transport_apply(aff, gp, traj, delta)
+        return transport_apply(aff, gp, traj, delta, ori=ori)
 
     return jax.vmap(apply_one)(
         kernels_b, aff_b, src_al, delta_b, L_b, alpha_b, Kinv_b

@@ -150,3 +150,41 @@ def test_quaternion_to_matrix_matches_scipy():
     R_mine = np.asarray(quat.to_rotation_matrix(jnp.asarray(q)))
     R_scipy = Rotation.from_quat([q[1], q[2], q[3], q[0]]).as_matrix()
     np.testing.assert_allclose(R_mine, R_scipy, atol=1e-12)
+
+
+def test_from_rotation_matrix_iter_matches_numpy_eigh():
+    """The squaring-based batched Bar-Itzhack (the TPU ensemble path — no
+    per-point eigh custom call) must match an independent numpy eigh
+    implementation of Bar-Itzhack (2000) on rotations with up to 50%
+    non-orthogonal perturbation."""
+    rs = np.random.RandomState(11)
+
+    def np_bar_itzhack(m):
+        Kp = np.array([
+            [m[0, 0] - m[1, 1] - m[2, 2], m[0, 1] + m[1, 0],
+             m[0, 2] + m[2, 0], m[2, 1] - m[1, 2]],
+            [m[0, 1] + m[1, 0], m[1, 1] - m[0, 0] - m[2, 2],
+             m[1, 2] + m[2, 1], m[0, 2] - m[2, 0]],
+            [m[0, 2] + m[2, 0], m[1, 2] + m[2, 1],
+             m[2, 2] - m[0, 0] - m[1, 1], m[1, 0] - m[0, 1]],
+            [m[2, 1] - m[1, 2], m[0, 2] - m[2, 0],
+             m[1, 0] - m[0, 1], m[0, 0] + m[1, 1] + m[2, 2]],
+        ]) / 3.0
+        _, vecs = np.linalg.eigh(Kp)
+        v = vecs[:, -1]
+        q = np.array([v[3], v[0], v[1], v[2]])
+        return q if q[0] >= 0 else -q
+
+    Ms = []
+    for pert in (0.0, 0.1, 0.3, 0.5):
+        for _ in range(25):
+            k = jax.random.PRNGKey(rs.randint(1 << 30))
+            R = np.asarray(_random_rotation(k))
+            Ms.append(R + pert * rs.randn(3, 3))
+    Ms = np.stack(Ms)
+    q_iter = np.asarray(quat.from_rotation_matrix_iter(jnp.asarray(Ms)))
+    q_gold = np.stack([np_bar_itzhack(m) for m in Ms])
+    err = np.minimum(
+        np.abs(q_iter - q_gold).max(-1), np.abs(q_iter + q_gold).max(-1)
+    )
+    assert err.max() < 1e-9, err.max()
