@@ -63,7 +63,9 @@ def greedy_variance_select(
         # Schur update: l_j = (k_col − Σ_{i<j} L_i[pick]·L_i) / sqrt(d[pick])
         proj = L_rows[:, pick] @ L_rows  # (N,)
         pivot = jnp.sqrt(jnp.maximum(d[pick], 1e-12))
-        l_j = (k_col - proj) / pivot
+        # kernel params may be f64 under x64 while X (and L_rows) are f32 —
+        # scatter of a wider dtype is a FutureError in jax (VERDICT r4 #6w)
+        l_j = ((k_col - proj) / pivot).astype(L_rows.dtype)
         L_rows = L_rows.at[j].set(l_j)
         d = jnp.maximum(d - l_j**2, 0.0)
         return d, chosen, L_rows

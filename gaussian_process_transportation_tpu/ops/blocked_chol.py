@@ -494,22 +494,36 @@ def cholesky_panels(
     interpret: Optional[bool] = None,
     pivot_rank: Optional[int] = None,
 ) -> BlockedCholesky:
-    """Right-looking blocked Cholesky over lower-triangle column panels.
+    """LEFT-looking blocked Cholesky over lower-triangle column panels.
 
     The Python loop over the P panels is unrolled at trace time, so every
-    GEMM has a static shape and exact FLOPs (the trailing SYRK touches
-    only lower-triangle blocks).  ``precision`` sets the MXU pass count
-    for the TRSM/SYRK GEMMs (HIGHEST = 6-pass f32; HIGH = 3-pass bf16x3,
-    ~2× faster with near-f32 accuracy); the panel kernel itself is always
+    GEMM has a static shape — but unlike the right-looking form (whose
+    P(P−1)/2 trailing updates put ~3200 GEMM HLOs in the N=40960 program
+    and ~490 s of compile over the tunnel, VERDICT r4 #3), each panel here
+    applies its ENTIRE history correction as ONE
+    (Np−kB, kB)·(kB, B) GEMM against the dense lower factor accumulated so
+    far: 3 HLOs per panel, O(P) total, identical N³/3 FLOPs (the same
+    arithmetic reassociated — the one GEMM accumulates in f32 what the
+    right-looking form rounded once per panel update, so accuracy is equal
+    or slightly better).  ``precision`` sets the MXU pass count for the
+    TRSM/history GEMMs (HIGHEST = 6-pass f32; HIGH = 3-pass bf16x3, ~2×
+    faster with near-f32 accuracy); the panel kernel itself is always
     full f32.
     """
     B = panels[0].shape[1]
     P = len(panels)
-    work = [p.astype(jnp.float32) for p in panels]
+    Np = panels[0].shape[0]
+    # dense lower accumulator for the history GEMMs; every panel writes its
+    # slice exactly once, so XLA updates it in place
+    Ldense = jnp.zeros((Np, Np), jnp.float32)
     L_panels: list = [None] * P
     linvs: list = [None] * P
     for k in range(P):
-        pk = work[k]
+        pk = panels[k].astype(jnp.float32)
+        if k:
+            hist = Ldense[k * B :, : k * B]                 # (Np−kB, kB)
+            hist_k = Ldense[k * B : (k + 1) * B, : k * B]   # (B, kB)
+            pk = pk - _dot(hist, hist_k.T, precision)
         Lkk, Linv = factor_panel(pk[:B], interpret=interpret, pivot_rank=pivot_rank)
         linvs[k] = Linv
         if pk.shape[0] > B:
@@ -518,10 +532,8 @@ def cholesky_panels(
         else:
             Lk = Lkk
         L_panels[k] = Lk
-        for j in range(k + 1, P):  # exact-FLOPs trailing update
-            off = (j - k) * B
-            Ljk = Lk[off : off + B]
-            work[j] = work[j] - _dot(Lk[off:], Ljk.T, precision)
+        if k + 1 < P:
+            Ldense = jax.lax.dynamic_update_slice(Ldense, Lk, (k * B, k * B))
     return BlockedCholesky(L_panels, jnp.stack(linvs), n)
 
 

@@ -95,51 +95,92 @@ def stationary_dk_dd2(d2: Array, family: str) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def tri_inverse_panels(chol: BlockedCholesky, precision=_HIGHEST) -> list:
+def _dense_lower(panels: Sequence[Array], B: int, Np: int) -> Array:
+    """Dense lower-triangular buffer from column panels — O(P) writes, each
+    slice written exactly once so XLA keeps it in place."""
+    Ld = jnp.zeros((Np, Np), jnp.float32)
+    for k, p in enumerate(panels):
+        Ld = jax.lax.dynamic_update_slice(
+            Ld, p.astype(jnp.float32), (k * B, k * B)
+        )
+    return Ld
+
+
+def tri_inverse_panels(
+    chol: BlockedCholesky, precision=_HIGHEST, chunks: int = 6
+) -> list:
     """L⁻¹ as lower-triangle column panels (same layout as ``chol.panels``).
 
-    Column panel ``s`` solves L · T[:, s-block] = E_s by blocked forward
-    substitution seeded with the retained L_ss⁻¹ — the all-zero rows above
-    the seed are skipped, so total FLOPs are the exact N³/3 and the GEMM
-    count is 2·(P−s) per panel (the trailing update is ONE shrinking GEMM).
+    Row-block recurrence with O(P) GEMMs (VERDICT r4 #3 — the per-column
+    forward substitution put ~P² GEMM HLOs in the program and minutes of
+    compile at large N): block row i of T = L⁻¹ is
+    ``T[i, :iB] = −L_ii⁻¹ · (L[i, :iB] @ T[:iB, :iB])`` — ONE history GEMM
+    against the dense T accumulated so far, chunked ``chunks``-ways over
+    the output columns so each chunk's GEMM starts at the first nonzero
+    row of T (the strictly-upper zeros are skipped exactly; FLOPs ≈
+    (C+1)/2C · N³/3 vs the substitution form's N³/6, ~17% more at C=6,
+    for a P·(C+4) HLO count instead of P²).
     """
     B = chol.block
     P = len(chol.panels)
-    cols = []
-    for s in range(P):
-        ys = [chol.linvs[s]]
-        p = chol.panels[s]
-        rest = None
-        if p.shape[0] > B:
-            rest = -_dot(p[B:], chol.linvs[s], precision)
-        for k in range(s + 1, P):
-            yk = _dot(chol.linvs[k], rest[:B], precision)
-            ys.append(yk)
-            if rest.shape[0] > B:
-                rest = rest[B:] - _dot(chol.panels[k][B:], yk, precision)
-        cols.append(jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0])
-    return cols
+    Np = chol.padded_n
+    Ld = _dense_lower(chol.panels, B, Np)
+    T = jnp.zeros((Np, Np), jnp.float32)
+    T = jax.lax.dynamic_update_slice(T, chol.linvs[0], (0, 0))
+    for i in range(1, P):
+        Lrow = Ld[i * B : (i + 1) * B, : i * B]  # (B, iB)
+        C = min(chunks, i)
+        bounds = [round(i * t / C) for t in range(C + 1)]
+        accs = []
+        for t in range(C):
+            c0, c1 = bounds[t], bounds[t + 1]
+            if c1 == c0:
+                continue
+            accs.append(_dot(
+                Lrow[:, c0 * B :], T[c0 * B : i * B, c0 * B : c1 * B], precision
+            ))
+        acc = jnp.concatenate(accs, axis=1) if len(accs) > 1 else accs[0]
+        Ti = -_dot(chol.linvs[i], acc, precision)
+        T = jax.lax.dynamic_update_slice(T, Ti, (i * B, 0))
+        T = jax.lax.dynamic_update_slice(T, chol.linvs[i], (i * B, i * B))
+    return [T[s * B :, s * B : (s + 1) * B] for s in range(P)]
 
 
 def kinv_panels(
     chol: BlockedCholesky,
     precision=_HIGHEST,
     tinv: Optional[Sequence[Array]] = None,
+    chunks: int = 6,
 ) -> list:
     """K⁻¹ = L⁻ᵀ L⁻¹ as lower-triangle column panels.
 
-    Block (i, s), i ≥ s:  K⁻¹[i][s] = Σ_{m≥i} T[m][i]ᵀ T[m][s] — one tall
-    (B, H_i)·(H_i, B) GEMM per block pair, N³/3 FLOPs total.
+    One GEMM per (column panel, row chunk) against the dense T — column
+    panel s rows [r0, Np) are ``T[r0:, r0:r1]ᵀ @ T[r0:, s-panel]`` (rows of
+    T above r0 are exactly zero in those columns), so the HLO count is
+    P·chunks instead of the block-pair form's P²/2, at ~(C+1)/C of its
+    N³/6 FLOPs (VERDICT r4 #3).
     """
     if tinv is None:
-        tinv = tri_inverse_panels(chol, precision)
+        tinv = tri_inverse_panels(chol, precision, chunks=chunks)
     B = chol.block
     P = len(chol.panels)
+    Np = chol.padded_n
+    Td = _dense_lower(tinv, B, Np)
     out = []
     for s in range(P):
-        blocks = [
-            _dot(tinv[i].T, tinv[s][(i - s) * B :], precision) for i in range(s, P)
-        ]
+        rows_p = P - s
+        C = min(chunks, rows_p)
+        bounds = [s + round(rows_p * t / C) for t in range(C + 1)]
+        blocks = []
+        for t in range(C):
+            r0, r1 = bounds[t], bounds[t + 1]
+            if r1 == r0:
+                continue
+            blocks.append(_dot(
+                Td[r0 * B :, r0 * B : r1 * B].T,
+                Td[r0 * B :, s * B : (s + 1) * B],
+                precision,
+            ))
         out.append(jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0])
     return out
 

@@ -8,6 +8,7 @@ from .samplers import (
     hmc,
     hmc_batched,
     nuts,
+    nuts_batched,
     sample_gp_posterior,
     split_rhat,
     effective_sample_size,
@@ -31,6 +32,7 @@ __all__ = [
     "hmc",
     "hmc_batched",
     "nuts",
+    "nuts_batched",
     "run_hmc_checkpointed",
     "run_hmc_batched_checkpointed",
     "sample_gp_posterior",

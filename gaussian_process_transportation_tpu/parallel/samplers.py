@@ -313,28 +313,11 @@ def _batched_machinery(lp_and_grad_batched, chain_keys, T, num_leapfrog):
     return step_keys, one_step
 
 
-def hmc_batched_warmup(
-    lp_and_grad_batched: Callable[[Array], Tuple[Array, Array]],
-    init_positions: Array,
-    chain_keys: Array,
-    num_warmup: int = 500,
-    num_leapfrog: int = 16,
-    initial_step_size: float = 0.1,
-    target_accept: float = 0.8,
-) -> Tuple[Tuple[Array, Array, Array], Array, Array]:
-    """Adaptation phase of :func:`hmc_batched` alone: dual-averaging step
-    size + Welford diagonal mass on (E,)/(T, E) vectors.  Returns
-    (state (q, lp, g), step (E,), inv_mass (T, E)) — exactly the carry
-    :func:`hmc_batched` holds when sampling starts, so checkpointed runs
-    (``parallel.checkpointed.run_hmc_batched_checkpointed``) resume
-    bit-identically."""
-    T, E = init_positions.shape
-    step_keys, one_step = _batched_machinery(
-        lp_and_grad_batched, chain_keys, T, num_leapfrog
-    )
-
-    lp0, g0 = lp_and_grad_batched(init_positions)
-    state0 = (init_positions, lp0, g0)
+def _batched_adaptation(one_step, step_keys, state0, T, E, num_warmup,
+                        initial_step_size, target_accept):
+    """The two-window dual-averaging + Welford adaptation shared by
+    :func:`hmc_batched_warmup` and :func:`nuts_batched` — generic over the
+    transition kernel ``one_step(state, keys_e, step, inv_mass)``."""
 
     def make_warmup_step(phase):
         def warmup_step(carry, s):
@@ -369,6 +352,33 @@ def hmc_batched_warmup(
     return state, step, inv_mass
 
 
+def hmc_batched_warmup(
+    lp_and_grad_batched: Callable[[Array], Tuple[Array, Array]],
+    init_positions: Array,
+    chain_keys: Array,
+    num_warmup: int = 500,
+    num_leapfrog: int = 16,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> Tuple[Tuple[Array, Array, Array], Array, Array]:
+    """Adaptation phase of :func:`hmc_batched` alone: dual-averaging step
+    size + Welford diagonal mass on (E,)/(T, E) vectors.  Returns
+    (state (q, lp, g), step (E,), inv_mass (T, E)) — exactly the carry
+    :func:`hmc_batched` holds when sampling starts, so checkpointed runs
+    (``parallel.checkpointed.run_hmc_batched_checkpointed``) resume
+    bit-identically."""
+    T, E = init_positions.shape
+    step_keys, one_step = _batched_machinery(
+        lp_and_grad_batched, chain_keys, T, num_leapfrog
+    )
+    lp0, g0 = lp_and_grad_batched(init_positions)
+    state0 = (init_positions, lp0, g0)
+    return _batched_adaptation(
+        one_step, step_keys, state0, T, E, num_warmup, initial_step_size,
+        target_accept,
+    )
+
+
 def hmc_batched_sample_range(
     lp_and_grad_batched: Callable[[Array], Tuple[Array, Array]],
     state: Tuple[Array, Array, Array],
@@ -397,6 +407,191 @@ def hmc_batched_sample_range(
     )
     # (S, T, E) -> (E, S, T)
     return state, jnp.transpose(samples, (2, 0, 1)), accepts
+
+
+def _nuts_batched_machinery(lp_and_grad_batched, chain_keys, T, max_depth):
+    """(step_keys, one_step) for ensemble-last batched NUTS.
+
+    Same tree policy as the single-chain :func:`nuts` (iterative doubling,
+    multinomial proposal across the trajectory, no intra-subtree U-turn
+    checks), evaluated for ALL lanes at once over the caller's batched
+    value+grad — e.g. the fused Pallas small-LML kernel — so one doubling
+    round's 2^depth leapfrog steps are each a handful of (T, E) elementwise
+    ops plus ONE fused kernel call (VERDICT r4 #5).
+
+    Per-lane dynamic tree depth is handled with masks: a round runs while
+    ANY lane is still building (``lax.cond`` skips whole rounds once every
+    lane has turned/diverged — only the taken branch executes on TPU), and
+    finished lanes' tree state is frozen by per-lane ``where``.  Worst lane
+    in the batch sets the round count; for the GP hyperposterior workload
+    typical depths are 2–5 of ``max_depth``.
+    """
+
+    def step_keys(phase, s):
+        return jax.vmap(
+            lambda ck: jax.random.fold_in(jax.random.fold_in(ck, phase), s)
+        )(chain_keys)
+
+    def one_step(state, keys_e, step, inv_mass):
+        q0, lp0, g0 = state
+        E = q0.shape[1]
+        k_mom = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys_e)
+        p0 = jnp.transpose(
+            jax.vmap(lambda k: jax.random.normal(k, (T,)))(k_mom)
+        ) / jnp.sqrt(inv_mass)
+        ke0 = 0.5 * jnp.sum(p0 * p0 * inv_mass, axis=0)
+        H0 = -lp0 + ke0  # (E,)
+
+        tree = dict(
+            q_l=q0, p_l=p0, g_l=g0, q_r=q0, p_r=p0, g_r=g0,
+            q_prop=q0, lp_prop=lp0, g_prop=g0,
+            log_w=-H0,
+            turning=jnp.zeros(E, bool), diverged=jnp.zeros(E, bool),
+            sum_accept=jnp.zeros(E), n_leap=jnp.zeros(E),
+        )
+
+        def fold2(base, a, b):
+            return jax.vmap(
+                lambda k: jax.random.fold_in(jax.random.fold_in(k, a), b)
+            )(base)
+
+        for depth in range(max_depth):
+            k_dir = fold2(keys_e, 1, depth)
+            k_merge = fold2(keys_e, 2, depth)
+            k_sel_base = fold2(keys_e, 3, depth)
+            active = (~tree["turning"]) & (~tree["diverged"])
+
+            def run_round(tree, depth=depth, k_dir=k_dir, k_merge=k_merge,
+                          k_sel_base=k_sel_base, active=active):
+                go_right = jax.vmap(jax.random.bernoulli)(k_dir)  # (E,)
+                eps = jnp.where(go_right, step, -step)
+                q = jnp.where(go_right[None, :], tree["q_r"], tree["q_l"])
+                p = jnp.where(go_right[None, :], tree["p_r"], tree["p_l"])
+                g = jnp.where(go_right[None, :], tree["g_r"], tree["g_l"])
+
+                def leap(carry, i):
+                    q, p, g, log_w_sub, q_p, lp_p, g_p, sum_a, n_l, div = carry
+                    p_half = p + 0.5 * eps[None, :] * g
+                    q_new = q + eps[None, :] * inv_mass * p_half
+                    lp_new, g_new = lp_and_grad_batched(q_new)
+                    p_new = p_half + 0.5 * eps[None, :] * g_new
+                    ke = 0.5 * jnp.sum(p_new * p_new * inv_mass, axis=0)
+                    dH = H0 - (-lp_new + ke)
+                    div = div | (dH < -1000.0)
+                    log_w_tot = jnp.logaddexp(log_w_sub, dH)
+                    u = jax.vmap(
+                        lambda k, ii: jax.random.uniform(jax.random.fold_in(k, ii)),
+                        in_axes=(0, None),
+                    )(k_sel_base, i)
+                    take = jnp.log(u) < (dH - log_w_tot)
+                    q_p = jnp.where(take[None, :], q_new, q_p)
+                    lp_p = jnp.where(take, lp_new, lp_p)
+                    g_p = jnp.where(take[None, :], g_new, g_p)
+                    sum_a = sum_a + jnp.minimum(1.0, jnp.exp(dH))
+                    n_l = n_l + 1.0
+                    return (q_new, p_new, g_new, log_w_tot, q_p, lp_p, g_p,
+                            sum_a, n_l, div), None
+
+                carry0 = (
+                    q, p, g, jnp.full((E,), -jnp.inf),
+                    tree["q_prop"], tree["lp_prop"], tree["g_prop"],
+                    jnp.zeros(E), jnp.zeros(E), jnp.zeros(E, bool),
+                )
+                carry, _ = jax.lax.scan(leap, carry0, jnp.arange(2 ** depth))
+                (q_e, p_e, g_e, log_w_sub, q_p, lp_p, g_p,
+                 sum_a, n_l, div_sub) = carry
+
+                log_w_tot = jnp.logaddexp(tree["log_w"], log_w_sub)
+                u_m = jax.vmap(jax.random.uniform)(k_merge)
+                take_sub = jnp.log(u_m) < (log_w_sub - log_w_tot)
+                sel = active & take_sub
+                sel2 = sel[None, :]
+                act2 = active[None, :]
+                upd_r = act2 & go_right[None, :]
+                upd_l = act2 & ~go_right[None, :]
+
+                q_l = jnp.where(upd_l, q_e, tree["q_l"])
+                p_l = jnp.where(upd_l, p_e, tree["p_l"])
+                g_l = jnp.where(upd_l, g_e, tree["g_l"])
+                q_r = jnp.where(upd_r, q_e, tree["q_r"])
+                p_r = jnp.where(upd_r, p_e, tree["p_r"])
+                g_r = jnp.where(upd_r, g_e, tree["g_r"])
+                dq = q_r - q_l
+                turn = (jnp.sum(dq * inv_mass * p_l, axis=0) < 0) | (
+                    jnp.sum(dq * inv_mass * p_r, axis=0) < 0
+                )
+                return dict(
+                    q_l=q_l, p_l=p_l, g_l=g_l, q_r=q_r, p_r=p_r, g_r=g_r,
+                    q_prop=jnp.where(sel2, q_p, tree["q_prop"]),
+                    lp_prop=jnp.where(sel, lp_p, tree["lp_prop"]),
+                    g_prop=jnp.where(sel2, g_p, tree["g_prop"]),
+                    log_w=jnp.where(active, log_w_tot, tree["log_w"]),
+                    turning=jnp.where(active, turn, tree["turning"]),
+                    diverged=jnp.where(active, tree["diverged"] | div_sub,
+                                       tree["diverged"]),
+                    sum_accept=tree["sum_accept"] + jnp.where(active, sum_a, 0.0),
+                    n_leap=tree["n_leap"] + jnp.where(active, n_l, 0.0),
+                )
+
+            tree = jax.lax.cond(jnp.any(active), run_round, lambda t: t, tree)
+
+        accept_stat = tree["sum_accept"] / jnp.maximum(tree["n_leap"], 1.0)
+        new_state = (tree["q_prop"], tree["lp_prop"], tree["g_prop"])
+        return new_state, accept_stat
+
+    return step_keys, one_step
+
+
+def nuts_batched(
+    lp_and_grad_batched: Callable[[Array], Tuple[Array, Array]],
+    init_positions: Array,
+    key: Optional[Array] = None,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    max_depth: int = 8,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    chain_keys: Optional[Array] = None,
+) -> Tuple[Array, dict]:
+    """All-chains-in-one-scan NUTS over a batched value+grad — the fused
+    twin of :func:`hmc_batched` for :func:`nuts` (VERDICT r4 #5).
+
+    Same contract as :func:`hmc_batched`: ``lp_and_grad_batched(q (T, E))
+    -> (lp (E,), grad (T, E))``, finite-guarded by the caller; returns
+    (samples (E, S, T), info).  Same two-window adaptation, same per-chain
+    fold_in key discipline (draws invariant to lane sharding).
+    """
+    T, E = init_positions.shape
+    if chain_keys is None:
+        if key is None:
+            raise ValueError(
+                "nuts_batched needs either `key` or `chain_keys` "
+                "(both were None)"
+            )
+        chain_keys = jax.random.split(key, E)
+    step_keys, one_step = _nuts_batched_machinery(
+        lp_and_grad_batched, chain_keys, T, max_depth
+    )
+    lp0, g0 = lp_and_grad_batched(init_positions)
+    state, step, inv_mass = _batched_adaptation(
+        one_step, step_keys, (init_positions, lp0, g0), T, E, num_warmup,
+        initial_step_size, target_accept,
+    )
+
+    def sample_step(state, s):
+        state, a = one_step(state, step_keys(2, s), step, inv_mass)
+        return state, (state[0], a)
+
+    state, (samples, accepts) = jax.lax.scan(
+        sample_step, state, jnp.arange(num_samples)
+    )
+    samples = jnp.transpose(samples, (2, 0, 1))
+    info = dict(
+        step_size=step,
+        inv_mass=jnp.transpose(inv_mass, (1, 0)),
+        mean_accept=jnp.mean(accepts, axis=0),
+    )
+    return samples, info
 
 
 def nuts(
@@ -653,7 +848,7 @@ def sample_gp_posterior(
     Y2 = Y if Y.ndim == 2 else Y[:, None]
     layout = small_lml_theta_layout(kernel)
     use_fused = (
-        algorithm == "hmc"
+        algorithm in ("hmc", "nuts")
         and layout is not None
         and X.shape[0] <= 32
         and Y2.shape[1] <= 8
@@ -671,7 +866,7 @@ def sample_gp_posterior(
     if use_fused:
         return _sample_gp_posterior_fused(
             kernel, X, Y2, key, layout, lo, hi, num_chains, num_warmup,
-            num_samples, mesh, jitter, **kw,
+            num_samples, mesh, jitter, algorithm=algorithm, **kw,
         )
 
     def logprob(theta):
@@ -711,15 +906,16 @@ def sample_gp_posterior(
 
 @functools.lru_cache(maxsize=64)
 def _fused_local_runner(family, n_ls, has_noise, jitter, use_kernel,
-                        num_warmup, num_samples, kw_items):
-    """Jitted (X, Y2, lo_c, hi_c, q0, key) -> hmc_batched(...), cached on
-    the static config so repeat `sample_gp_posterior` calls hit the SAME
-    jit wrapper — a fresh `jax.jit(closure)` per call retraces every time
-    (~1 s of pure host work per call at the bench workload, dwarfing the
-    160 ms of device time on the fused path)."""
+                        num_warmup, num_samples, kw_items, algo="hmc"):
+    """Jitted (X, Y2, lo_c, hi_c, q0, key) -> {hmc,nuts}_batched(...),
+    cached on the static config so repeat `sample_gp_posterior` calls hit
+    the SAME jit wrapper — a fresh `jax.jit(closure)` per call retraces
+    every time (~1 s of pure host work per call at the bench workload,
+    dwarfing the 160 ms of device time on the fused path)."""
     from ..ops.fused_lml import small_lml_value_grad, small_lml_value_grad_ref
 
     kw = dict(kw_items)
+    sampler = hmc_batched if algo == "hmc" else nuts_batched
 
     @jax.jit
     def run(X, Y2, lo_c, hi_c, q0_te, cks):
@@ -742,7 +938,7 @@ def _fused_local_runner(family, n_ls, has_noise, jitter, use_kernel,
             g = jnp.where(jnp.isfinite(g) & ~bad[None, :], g, 0.0)
             return lp, g
 
-        return hmc_batched(
+        return sampler(
             lp_and_grad, q0_te, num_warmup=num_warmup,
             num_samples=num_samples, chain_keys=cks, **kw,
         )
@@ -752,7 +948,7 @@ def _fused_local_runner(family, n_ls, has_noise, jitter, use_kernel,
 
 @functools.lru_cache(maxsize=64)
 def _fused_mesh_runner(mesh, family, n_ls, has_noise, jitter, use_kernel,
-                       num_warmup, num_samples, kw_items):
+                       num_warmup, num_samples, kw_items, algo="hmc"):
     """Mesh twin of :func:`_fused_local_runner`: the jitted ``shard_map``
     runner cached on (mesh, static config) — a fresh ``jax.jit(shard_map)``
     per call re-incurs the ~1 s host-side retrace the local cache was added
@@ -765,6 +961,7 @@ def _fused_mesh_runner(mesh, family, n_ls, has_noise, jitter, use_kernel,
         from jax.experimental.shard_map import shard_map
 
     kw = dict(kw_items)
+    sampler = hmc_batched if algo == "hmc" else nuts_batched
 
     def run_local(X, Y2, lo_c, hi_c, q0_te, cks):
         def lp_and_grad(theta_te):
@@ -786,7 +983,7 @@ def _fused_mesh_runner(mesh, family, n_ls, has_noise, jitter, use_kernel,
             g = jnp.where(jnp.isfinite(g) & ~bad[None, :], g, 0.0)
             return lp, g
 
-        return hmc_batched(
+        return sampler(
             lp_and_grad, q0_te, num_warmup=num_warmup,
             num_samples=num_samples, chain_keys=cks, **kw,
         )
@@ -806,7 +1003,7 @@ def _fused_mesh_runner(mesh, family, n_ls, has_noise, jitter, use_kernel,
 
 def _sample_gp_posterior_fused(
     kernel, X, Y2, key, layout, lo, hi, num_chains, num_warmup, num_samples,
-    mesh, jitter, use_kernel=None, **kw,
+    mesh, jitter, use_kernel=None, algorithm="hmc", **kw,
 ):
     """Ensemble-last chains over the fused Pallas LML kernel.
 
@@ -844,6 +1041,7 @@ def _sample_gp_posterior_fused(
         run = _fused_local_runner(
             family, n_ls, bool(has_noise), float(jitter), bool(use_kernel),
             int(num_warmup), int(num_samples), tuple(sorted(kw.items())),
+            algo=algorithm,
         )
         samples_c, info = run(X, Y2, lo_c, hi_c, inits_te, chain_keys)
     else:
@@ -854,7 +1052,7 @@ def _sample_gp_posterior_fused(
         run = _fused_mesh_runner(
             mesh, family, n_ls, bool(has_noise), float(jitter),
             bool(use_kernel), int(num_warmup), int(num_samples),
-            tuple(sorted(kw.items())),
+            tuple(sorted(kw.items())), algo=algorithm,
         )
         samples_c, info = run(X, Y2, lo_c, hi_c, inits_te, chain_keys)
 

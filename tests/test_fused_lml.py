@@ -233,9 +233,10 @@ def test_hmc_batched_statistics_match_vmapped_hmc():
     s_fused, d_fused = samplers.sample_gp_posterior(
         kernel, X, Y, jax.random.PRNGKey(0), algorithm="hmc", **common
     )
-    # force the generic vmapped path by an unsupported-structure wrapper
+    # the generic vmapped NUTS path as an independent reference
     s_ref, d_ref = samplers.sample_gp_posterior(
-        kernel, X, Y, jax.random.PRNGKey(1), algorithm="nuts", **common
+        kernel, X, Y, jax.random.PRNGKey(1), algorithm="nuts", fused=False,
+        **common
     )
     assert s_fused.shape == (16, 150, 4)
     assert np.isfinite(np.asarray(s_fused)).all()

@@ -110,3 +110,66 @@ def test_posterior_predictive_from_chains():
     mean = np.asarray(preds.mean(0))
     truth = np.cos(2 * np.asarray(xq))
     assert np.sqrt(np.mean((mean - truth) ** 2)) < 0.35
+
+
+def test_nuts_batched_recovers_gaussian():
+    """Ensemble-last batched NUTS (the fused production path's kernel)
+    draws from the right target: diagonal Gaussian recovered to MC error,
+    matching the generic per-chain nuts semantics (VERDICT r4 #5)."""
+    mu = np.array([1.0, -2.0, 0.5])
+    sigma = np.array([0.5, 2.0, 1.0])
+    muj = jnp.asarray(mu)[:, None]
+    sigj = jnp.asarray(sigma)[:, None]
+
+    def lp_and_grad(q):  # (T, E) -> ((E,), (T, E)), finite-guarded contract
+        z = (q - muj) / sigj
+        lp = -0.5 * jnp.sum(z * z, axis=0)
+        g = -z / sigj
+        bad = ~jnp.isfinite(lp)
+        lp = jnp.where(bad, -1e10, lp)
+        g = jnp.where(jnp.isfinite(g) & ~bad[None, :], g, 0.0)
+        return lp, g
+
+    E = 16
+    samples, info = samplers.nuts_batched(
+        lp_and_grad, jnp.zeros((3, E)), key=jax.random.PRNGKey(0),
+        num_warmup=200, num_samples=300, max_depth=6,
+    )
+    assert samples.shape == (E, 300, 3)
+    acc = np.asarray(info["mean_accept"])
+    assert np.isfinite(acc).all() and acc.mean() > 0.5, acc
+    flat = np.asarray(samples).reshape(-1, 3)
+    np.testing.assert_allclose(flat.mean(0), mu, atol=0.15)
+    np.testing.assert_allclose(flat.std(0), sigma, atol=0.3)
+    chains = np.asarray(samples)
+    rhat = np.asarray(samplers.split_rhat(jnp.asarray(chains)))
+    assert np.all(rhat < 1.1), rhat
+
+
+@pytest.mark.slow  # the generic vmapped-AD NUTS reference costs minutes on CPU
+def test_nuts_fused_gp_posterior_matches_generic():
+    """sample_gp_posterior(algorithm='nuts') now routes through the fused
+    batched NUTS for the small-N transport family; its posterior moments
+    must match the generic vmapped NUTS (fused=False)."""
+    kernel = K.Constant(1.0) * K.RBF(jnp.ones(2)) + K.White(0.01)
+    rs = np.random.RandomState(3)
+    X = jnp.asarray(rs.randn(14, 2))
+    Y = jnp.asarray(np.sin(np.asarray(X)[:, :1]) + 0.1 * rs.randn(14, 1))
+    # the generic vmapped-AD NUTS reference dominates the test's CPU time —
+    # it gets a small 8×100 budget (moments only) while the cheap fused run
+    # keeps the full 16×150 the R̂ gate needs
+    s_fused, d_fused = samplers.sample_gp_posterior(
+        kernel, X, Y, jax.random.PRNGKey(0), algorithm="nuts",
+        num_chains=16, num_warmup=150, num_samples=150,
+    )
+    s_ref, _ = samplers.sample_gp_posterior(
+        kernel, X, Y, jax.random.PRNGKey(1), algorithm="nuts", fused=False,
+        num_chains=8, num_warmup=100, num_samples=100,
+    )
+    assert s_fused.shape == (16, 150, 4)
+    assert np.isfinite(np.asarray(s_fused)).all()
+    assert float(np.max(np.asarray(d_fused["rhat"]))) < 1.2
+    m_f = np.asarray(s_fused).reshape(-1, 4).mean(0)
+    m_r = np.asarray(s_ref).reshape(-1, 4).mean(0)
+    sd = np.asarray(s_ref).reshape(-1, 4).std(0)
+    assert np.all(np.abs(m_f - m_r) < 0.8 * sd + 0.3), (m_f, m_r, sd)
