@@ -674,9 +674,9 @@ def main():
     for m, (k, nd) in _METRIC_KEYS.items():
         if m in results:
             extras[k] = round(results[m][0], nd)
-    failed = sorted({"cholesky", "hmc", "smc"} - set(results))
-    if failed:
-        extras["stages_failed"] = failed
+    # always present (empty = every stage captured) so the artifact is
+    # explicitly self-diagnosing rather than diagnosing-by-absence
+    extras["stages_failed"] = sorted({"cholesky", "hmc", "smc"} - set(results))
     if baseline_degraded:
         extras["baseline_degraded"] = True
     extras["cpu_baseline_traj_per_s"] = round(ref_rate, 1)

@@ -1,6 +1,6 @@
 from .multi_frame import MultipleReferenceFramesGPT, ablation_study
 from .comparison import run_comparison
-from .statistics import mann_whitney_ranking
+from .statistics import mann_whitney_ranking, ranked_boxplot, ranking_report
 from .baselines import (
     MultipleReferenceFramesDMP,
     MultipleReferenceFramesTPGMM,
@@ -14,6 +14,8 @@ __all__ = [
     "ablation_study",
     "run_comparison",
     "mann_whitney_ranking",
+    "ranked_boxplot",
+    "ranking_report",
     "MultipleReferenceFramesDMP",
     "MultipleReferenceFramesTPGMM",
     "MultipleReferenceFramesHMM",

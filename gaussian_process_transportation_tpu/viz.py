@@ -61,6 +61,75 @@ def rollout_gp_ds(
     return traj
 
 
+def rollout_stable_gp_ds(
+    gp: core.ExactGP, x0: Array, n_steps: int = 1000
+) -> Array:
+    """Uncertainty-stabilized Euler rollout of the GP dynamical system —
+    the compute core of the reference's ``plot_traj_evolution``
+    (``plot_utils.py:298-310``): per step,
+    ``pos += vel − std · ∂σ²/∂x / ‖∂σ²/∂x‖`` (the predictive-std-scaled
+    descent of the variance keeps the rollout near the demonstration).
+    The reference runs 1000 sequential ``model.predict`` Python calls per
+    trajectory; here it is one ``lax.scan`` over a batch: x0 (B, D) →
+    (n_steps, B, D)."""
+
+    def step(x, _):
+        vel, std = core.predict(gp, x, return_std=True)
+        g = core.variance_gradient(gp, x)
+        n = jnp.linalg.norm(g, axis=1, keepdims=True)
+        f_stable = g / jnp.maximum(n, 1e-12)
+        x_new = x + vel - std * f_stable
+        return x_new, x_new
+
+    _, traj = jax.lax.scan(step, jnp.asarray(x0), None, length=n_steps)
+    return traj
+
+
+def plot_traj_evolution(
+    gp, x_grid, y_grid, z_grid, demo=None, surface=None, n_steps=1000, key=None
+):
+    """3D trajectory-evolution figure (``plot_utils.py:298-318``): roll a
+    stabilized GP-DS trajectory from a uniform-random start in the grid box
+    and plot it over the surface + demonstration.  Returns the 3D axis."""
+    plt = _plt()
+    if plt is None:
+        return None
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    lo = jnp.asarray([x_grid[0], y_grid[0], z_grid[0]], jnp.float32)
+    hi = jnp.asarray([x_grid[-1], y_grid[-1], z_grid[-1]], jnp.float32)
+    x0 = jax.random.uniform(key, (1, 3), minval=lo, maxval=hi)
+    traj = np.asarray(rollout_stable_gp_ds(gp, x0, n_steps))[:, 0]
+    ax = plot_traj_3D(traj, surface)
+    if ax is not None and demo is not None:
+        demo = np.asarray(demo)
+        ax.scatter(demo[:, 0], demo[:, 1], demo[:, 2], color=[1, 0, 0])
+    return ax
+
+
+def plot_traj_3D(trajectory, surface=None, ax=None):
+    """Trajectory scatter over a (Gx, Gy, 3) surface mesh
+    (``plot_utils.py:320-325``)."""
+    plt = _plt()
+    if plt is None:
+        return None
+    if ax is None:
+        ax = plt.figure().add_subplot(projection="3d")
+    if surface is not None:
+        from matplotlib import cm
+
+        surface = np.asarray(surface)
+        ax.plot_surface(
+            surface[:, :, 0], surface[:, :, 1], surface[:, :, 2],
+            cmap=cm.coolwarm, linewidth=0, antialiased=False,
+        )
+    trajectory = np.asarray(trajectory)
+    ax.scatter(
+        trajectory[:, 0], trajectory[:, 1], trajectory[:, 2], color=[0, 0, 1]
+    )
+    return ax
+
+
 def min_variance_attractor_field(
     gp: core.ExactGP, query: Array, step: float = 1.0
 ) -> Array:

@@ -177,6 +177,46 @@ def test_mann_whitney_ranking():
     assert ranked[0][0] == "good" and ranked[0][1] < ranked[1][1]
 
 
+def test_ranking_report_and_boxplot(tmp_path):
+    """Parity surface for data_analysis_dataset.py:23-99 — per-metric
+    rankings as text plus the rank-ordered, rank-annotated box plots."""
+    from gaussian_process_transportation_tpu.benchmarks.statistics import (
+        ranked_boxplot,
+        ranking_report,
+    )
+
+    rng = np.random.RandomState(0)
+    metrics = {
+        "Frechet Distance": {
+            "GPT": np.abs(rng.randn(40)) * 0.1,
+            "DMP": np.abs(rng.randn(40)) * 5 + 1,
+            "HMM": np.abs(rng.randn(40)) * 2 + 0.5,
+        },
+        "Final Position Error": {
+            "GPT": np.abs(rng.randn(40)) * 0.2,
+            "DMP": np.abs(rng.randn(40)) * 3 + 1,
+            "HMM": np.concatenate([np.abs(rng.randn(39)), [np.nan]]),
+        },
+    }
+    report = ranking_report(metrics)
+    lines = report.splitlines()
+    assert len(lines) == 2
+    assert lines[0].startswith("Frechet Distance: GPT(1)")
+
+    out = str(tmp_path / "boxplot.png")
+    fig, axes = ranked_boxplot(metrics, out_path=out)
+    assert len(axes) == 2
+    # methods appear ordered by rank with the rank annotated above each box
+    labels = [t.get_text() for t in axes[0].get_xticklabels()]
+    assert labels[0] == "GPT"
+    import os
+
+    assert os.path.exists(out)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
 def test_drawing_recorder_programmatic(tmp_path):
     from gaussian_process_transportation_tpu.data.drawing import DrawingRecorder
 

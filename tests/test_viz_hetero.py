@@ -43,6 +43,39 @@ def test_min_variance_attractor_points_to_data(linear_ds_gp):
     assert v[0, 0] < 0 and v[0, 1] < 0
 
 
+def test_rollout_stable_and_traj_evolution_3d():
+    """plot_utils.py:298-325 parity: the stabilized rollout converges into
+    the data support (the −std·∇σ²/‖∇σ²‖ term attracts toward the demo) and
+    the 3D plot helpers draw it."""
+    rng3 = np.random.RandomState(3)
+    X = rng3.uniform(-4, 4, (60, 3))
+    dX = -0.1 * X
+    k = K.Constant(1.0) * K.RBF(3.0 * jnp.ones(3)) + K.White(1e-4)
+    gp = core.condition(k, jnp.asarray(X), jnp.asarray(dX))
+
+    traj = viz.rollout_stable_gp_ds(gp, jnp.asarray([[6.0, -6.0, 6.0]]), n_steps=150)
+    assert traj.shape == (150, 1, 3)
+    end = np.asarray(traj)[-1, 0]
+    # far outside the support the variance-descent dominates and pulls in
+    assert np.linalg.norm(end) < np.linalg.norm([6.0, -6.0, 6.0])
+    assert np.isfinite(np.asarray(traj)).all()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g = np.linspace(-4, 4, 5)
+    gx, gy = np.meshgrid(g, g)
+    surface = np.stack([gx, gy, 0.1 * gx * gy], axis=-1)
+    ax = viz.plot_traj_evolution(
+        gp, g, g, g, demo=X, surface=surface, n_steps=20,
+        key=jax.random.PRNGKey(1),
+    )
+    assert ax is not None
+    plt.close("all")
+
+
 def test_heteroscedastic_composition():
     t = np.linspace(0, 1, 60)
     X1 = np.stack([10 * t, np.sin(3 * t)], 1)
