@@ -178,85 +178,135 @@ def _local_gram_panels(Z_ext, d, block, D, Pl, Np, amp, noise, family):
 
 
 def _factor_body(work, d, axis, block, D, Pl, Np, precision, interpret):
-    """Right-looking factorization over block-cyclic local panels."""
+    """Right-looking factorization over block-cyclic local panels.
+
+    ``lax.fori_loop`` over the Pnl global steps (VERDICT r4 #3): the body —
+    and with it the ONE ``factor_panel`` call site — compiles once, where
+    the unrolled form inlined Pnl copies of the panel kernel's jaxpr and
+    O(Pnl·Pl) GEMM/slice HLOs (the r4 driver dryrun spent 424 s compiling
+    step 6; truly large multi-chip N, Pnl ≈ 200, did not compile at all).
+    The Pl-slot inner loop stays unrolled (static trapezoid heights);
+    the now-dynamic owner-slot index uses ``lax.switch``; not-yet-started
+    slots skip their trailing-update GEMM under ``lax.cond``.
+    """
     Pnl = Pl * D
-    L_loc = [jnp.zeros_like(w) for w in work]
-    linv_loc = [jnp.zeros((block, block), jnp.float32) for _ in range(Pl)]
-    for k in range(Pnl):
-        j, owner = divmod(k, D)
-        Hj = Np - j * D * block
-        mine = (d == owner)
-        # ONE broadcast: the owner's up-to-date panel (valid rows: Np − k·B)
-        G = lax.psum(jnp.where(mine, work[j], 0.0), axis)
-        G = G[: Np - k * block]
+    zero = jnp.zeros((), jnp.int32)
+    L0 = tuple(jnp.zeros_like(w) for w in work)
+    linv0 = tuple(jnp.zeros((block, block), jnp.float32) for _ in range(Pl))
+
+    def step(k, carry):
+        work, L_loc, linv_loc = carry
+        jk = k // D
+        mine = d == (k % D)
+        # ONE broadcast: the owner's up-to-date panel, padded to the
+        # tallest slot height (rows past the true Np − k·B are zero)
+        G_own = lax.switch(
+            jk, [lambda j=j: _pad_rows(work[j], Np) for j in range(Pl)]
+        )
+        G = lax.psum(jnp.where(mine, G_own, 0.0), axis)
         Lkk, Linv = factor_panel(G[:block], interpret=interpret)
-        if G.shape[0] > block:
-            below = _dot(G[block:], Linv.T, precision)  # TRSM as GEMM
-            Lk = jnp.concatenate([Lkk, below], axis=0)
-        else:
-            Lk = Lkk
-        L_loc[j] = jnp.where(mine, _pad_rows(Lk, Hj), L_loc[j])
-        linv_loc[j] = jnp.where(mine, Linv, linv_loc[j])
-        # dynamic-offset slices may run past Lk's end: pad with D·B zero rows
-        # (zero left-rows ⇒ zero updates into the targets' zero overhang)
-        Lk_pad = _pad_rows(Lk, Np - k * block + D * block)
-        j_lo = k // D  # panels below this never need this step's update
-        for j2 in range(j_lo, Pl):
-            k2 = j2 * D + d
-            r = (k2 - k) * block
+        below = _dot(G[block:], Linv.T, precision)  # TRSM as GEMM
+        Lk = jnp.concatenate([Lkk, below], axis=0)  # (Np, B)
+        # dynamic-offset slices may run past Lk's end: pad with D·B zero
+        # rows (zero left-rows ⇒ zero updates into the zero overhang)
+        Lk_pad = _pad_rows(Lk, Np + D * block)
+        work_new, L_new, linv_new = [], [], []
+        for j in range(Pl):
+            Hj = Np - j * D * block
+            mine_j = mine & (jk == j)
+            L_new.append(jnp.where(mine_j, Lk[:Hj], L_loc[j]))
+            linv_new.append(jnp.where(mine_j, Linv, linv_loc[j]))
+            k2 = j * D + d
             need = k2 > k
-            r_safe = jnp.maximum(r, 0).astype(jnp.int32)
-            zero = jnp.zeros((), jnp.int32)
-            H2 = Np - j2 * D * block
-            rows = lax.dynamic_slice(Lk_pad, (r_safe, zero), (H2, block))
-            blk = lax.dynamic_slice(Lk_pad, (r_safe, zero), (block, block))
-            upd = _dot(rows, blk.T, precision)
-            work[j2] = work[j2] - jnp.where(need, upd, 0.0)
-    return L_loc, linv_loc
+            r_safe = jnp.maximum((k2 - k) * block, 0).astype(jnp.int32)
+
+            def upd(wj, Hj=Hj, r_safe=r_safe):
+                rows = lax.dynamic_slice(Lk_pad, (r_safe, zero), (Hj, block))
+                blk = lax.dynamic_slice(
+                    Lk_pad, (r_safe, zero), (block, block)
+                )
+                return wj - _dot(rows, blk.T, precision)
+
+            work_new.append(lax.cond(need, upd, lambda wj: wj, work[j]))
+        return tuple(work_new), tuple(L_new), tuple(linv_new)
+
+    _, L_loc, linv_loc = lax.fori_loop(
+        0, Pnl, step, (tuple(work), L0, linv0)
+    )
+    return list(L_loc), list(linv_loc)
 
 
 def _fwd_sub(L_loc, linv_loc, d, axis, b, block, D, Pl, Np, precision):
-    """y = L⁻¹ b with b replicated (Np, nrhs); one masked psum per panel."""
+    """y = L⁻¹ b with b replicated (Np, nrhs); one masked psum per panel.
+
+    Compile-once ``fori_loop`` over the Pnl panel steps (VERDICT r4 #3);
+    the owner's slot pair is selected with ``lax.switch``.
+    """
     Pnl = Pl * D
     nrhs = b.shape[1]
-    rest = b
-    ys = []
-    for k in range(Pnl):
-        j, owner = divmod(k, D)
-        mine = (d == owner)
-        Hj = Np - j * D * block
-        yk = _dot(linv_loc[j], rest[k * block : (k + 1) * block], precision)
-        tail = Np - (k + 1) * block
-        if tail:
-            u = _dot(L_loc[j][block:], yk, precision)[:tail]
-        else:
-            u = jnp.zeros((0, nrhs), jnp.float32)
-        contrib = jnp.concatenate([yk, u], axis=0)
-        contrib = lax.psum(jnp.where(mine, contrib, 0.0), axis)
-        ys.append(contrib[:block])
-        if tail:
-            rest = rest.at[(k + 1) * block :].add(-contrib[block:])
-    return jnp.concatenate(ys, axis=0)
+    zero = jnp.zeros((), jnp.int32)
+
+    def step(k, carry):
+        rest, y = carry
+        jk = k // D
+        mine = d == (k % D)
+        L_own = lax.switch(
+            jk, [lambda j=j: _pad_rows(L_loc[j], Np) for j in range(Pl)]
+        )
+        linv_own = lax.switch(jk, [lambda j=j: linv_loc[j] for j in range(Pl)])
+        off = (k * block).astype(jnp.int32)
+        rk = lax.dynamic_slice(rest, (off, zero), (block, nrhs))
+        yk = _dot(linv_own, rk, precision)
+        u = _dot(L_own[block:], yk, precision)  # rows past trapezoid: zero
+        contrib = lax.psum(
+            jnp.where(mine, jnp.concatenate([yk, u], axis=0), 0.0), axis
+        )
+        y = lax.dynamic_update_slice(y, contrib[:block], (off, zero))
+        # rest[g] -= contrib[g − k·B] for g ≥ (k+1)·B, as a shifted slice of
+        # the zero-headed tail (contrib rows [B:] live at global (k+1)·B…)
+        tail_ext = jnp.concatenate(
+            [jnp.zeros((Np, nrhs), jnp.float32),
+             contrib.at[:block].set(0.0)],
+            axis=0,
+        )
+        shifted = lax.dynamic_slice(tail_ext, (Np - off, zero), (Np, nrhs))
+        return rest - shifted, y
+
+    _, y = lax.fori_loop(
+        0, Pnl, step, (b, jnp.zeros((Np, nrhs), jnp.float32))
+    )
+    return y
 
 
 def _bwd_sub(L_loc, linv_loc, d, axis, y, block, D, Pl, Np, precision):
-    """x = L⁻ᵀ y, replicated."""
+    """x = L⁻ᵀ y, replicated; same compile-once loop as :func:`_fwd_sub`."""
     Pnl = Pl * D
     nrhs = y.shape[1]
-    x = jnp.zeros((Np, nrhs), jnp.float32)
-    for k in reversed(range(Pnl)):
-        j, owner = divmod(k, D)
-        mine = (d == owner)
-        Hj = Np - j * D * block
-        s = y[k * block : (k + 1) * block]
-        tail = Np - (k + 1) * block
-        if tail:
-            xb = _pad_rows(x[(k + 1) * block :], Hj - block)
-            s = s - _dot(L_loc[j][block:].T, xb, precision)
-        xk = _dot(linv_loc[j].T, s, precision)
+    zero = jnp.zeros((), jnp.int32)
+
+    def step(t, x):
+        k = Pnl - 1 - t
+        jk = k // D
+        mine = d == (k % D)
+        L_own = lax.switch(
+            jk, [lambda j=j: _pad_rows(L_loc[j], Np) for j in range(Pl)]
+        )
+        linv_own = lax.switch(jk, [lambda j=j: linv_loc[j] for j in range(Pl)])
+        off = (k * block).astype(jnp.int32)
+        s = lax.dynamic_slice(y, (off, zero), (block, nrhs))
+        # xb[i] = x[(k+1)·B + i] for i < Np − (k+1)·B else 0
+        x_ext = jnp.concatenate([x, jnp.zeros((Np, nrhs), jnp.float32)], 0)
+        xb = lax.dynamic_slice(
+            x_ext, (off + block, zero), (Np - block, nrhs)
+        )
+        s = s - _dot(L_own[block:].T, xb, precision)
+        xk = _dot(linv_own.T, s, precision)
         xk = lax.psum(jnp.where(mine, xk, 0.0), axis)
-        x = x.at[k * block : (k + 1) * block].set(xk)
-    return x
+        return lax.dynamic_update_slice(x, xk, (off, zero))
+
+    return lax.fori_loop(
+        0, Pnl, step, jnp.zeros((Np, nrhs), jnp.float32)
+    )
 
 
 def sharded_gram_cholesky_solve(

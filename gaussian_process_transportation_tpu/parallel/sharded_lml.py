@@ -70,50 +70,78 @@ def _dot(a, b, precision):
 
 def _tri_inv_body(L_loc, linv_loc, d, axis, block, D, Pl, Np, precision):
     """T = L⁻¹ columns in the block-cyclic slot layout (diag block at local
-    row 0, slot height H_j = Np − j·D·B, zero overhang)."""
+    row 0, slot height H_j = Np − j·D·B, zero overhang).
+
+    ``lax.fori_loop`` over the Pnl global panel steps — the body compiles
+    ONCE (the unrolled form put O(Pnl·Pl) GEMM/slice HLOs in the program:
+    424 s of the r4 driver dryrun's 535 s, VERDICT r4 #3).  The Pl-slot
+    inner loop stays unrolled so every slot keeps its exact static
+    trapezoid height; the now-dynamic panel index selects its slot with
+    ``lax.switch`` (one slot touched, not a masked sum over all), and
+    slots whose column hasn't started skip their GEMMs under ``lax.cond``
+    instead of being peeled off the (static) loop bounds.
+    """
     Pnl = Pl * D
-    T_loc = [jnp.zeros_like(w) for w in L_loc]
-    rest_loc = []
-    for j in range(Pl):
-        Hj = Np - j * D * block
-        eye = jnp.eye(block, dtype=jnp.float32)
-        rest_loc.append(_pad_rows(eye, Hj))
     zero = jnp.zeros((), jnp.int32)
-    for k in range(Pnl):
-        jk, owner = divmod(k, D)
-        Hk = Np - k * block
-        mine_k = (d == owner)
-        # ONE broadcast pair per step: the owner's factored panel + L_kk⁻¹
-        Lk = lax.psum(jnp.where(mine_k, L_loc[jk], 0.0), axis)[:Hk]
-        linv_k = lax.psum(jnp.where(mine_k, linv_loc[jk], 0.0), axis)
+    eye = jnp.eye(block, dtype=jnp.float32)
+    T0 = tuple(jnp.zeros_like(w) for w in L_loc)
+    rest0 = tuple(_pad_rows(eye, Np - j * D * block) for j in range(Pl))
+
+    def step(k, carry):
+        T_loc, rest_loc = carry
+        jk = k // D
+        mine_k = d == (k % D)
+        # ONE broadcast pair per step: the owner's factored panel (padded
+        # to the tallest slot height — overhang rows are exactly zero) +
+        # L_kk⁻¹.  Local coords: row m ↔ global row k·B + m.
+        Lk_own = lax.switch(
+            jk, [lambda j=j: _pad_rows(L_loc[j], Np) for j in range(Pl)]
+        )
+        linv_own = lax.switch(
+            jk, [lambda j=j: linv_loc[j] for j in range(Pl)]
+        )
+        Lk = lax.psum(jnp.where(mine_k, Lk_own, 0.0), axis)
+        linv_k = lax.psum(jnp.where(mine_k, linv_own, 0.0), axis)
         Lk_below = Lk.at[:block].set(0.0)  # diag block must not re-apply
-        for j in range(min(k // D + 1, Pl)):  # columns s = jD+d with s<=k only
+        T_new, rest_new = [], []
+        for j in range(Pl):
             Hj = Np - j * D * block
             s = j * D + d
             need = s <= k
             r = (k - s) * block
             r_safe = jnp.clip(r, 0, Hj - block).astype(jnp.int32)
-            blk = lax.dynamic_slice(rest_loc[j], (r_safe, zero), (block, block))
-            yk = _dot(linv_k, blk, precision)
-            cur = lax.dynamic_slice(T_loc[j], (r_safe, zero), (block, block))
-            T_loc[j] = lax.dynamic_update_slice(
-                T_loc[j], jnp.where(need, yk, cur), (r_safe, zero)
+
+            def upd(Tj, rj, Hj=Hj, r_safe=r_safe):
+                blk = lax.dynamic_slice(rj, (r_safe, zero), (block, block))
+                yk = _dot(linv_k, blk, precision)
+                Tj = lax.dynamic_update_slice(Tj, yk, (r_safe, zero))
+                # trailing update: rest[i] -= Lk_below[i - r] @ yk for
+                # i >= r+B, as a shifted static-size slice of a zero-padded
+                # Lk (rows of Lk past Hj are zero whenever need holds:
+                # s <= k ⇒ true height Np−kB <= Hj)
+                Lk_ext = jnp.concatenate(
+                    [
+                        jnp.zeros((Hj, block), jnp.float32),
+                        _pad_rows(Lk_below[:Hj], Hj + D * block),
+                    ],
+                    axis=0,
+                )
+                shifted = lax.dynamic_slice(
+                    Lk_ext, ((Hj - r_safe).astype(jnp.int32), zero),
+                    (Hj, block),
+                )
+                rj = rj - _dot(shifted, yk, precision)
+                return Tj, rj
+
+            Tj, rj = lax.cond(
+                need, upd, lambda Tj, rj: (Tj, rj), T_loc[j], rest_loc[j]
             )
-            # trailing update: rest[i] -= Lk_below[i - r] @ yk for i >= r+B,
-            # realized as a shifted static-size slice of a zero-padded Lk
-            Lk_ext = jnp.concatenate(
-                [
-                    jnp.zeros((Hj, block), jnp.float32),
-                    _pad_rows(Lk_below, Hj + D * block),
-                ],
-                axis=0,
-            )
-            shifted = lax.dynamic_slice(
-                Lk_ext, ((Hj - r_safe).astype(jnp.int32), zero), (Hj, block)
-            )
-            upd = _dot(shifted, yk, precision)
-            rest_loc[j] = rest_loc[j] - jnp.where(need, upd, 0.0)
-    return T_loc
+            T_new.append(Tj)
+            rest_new.append(rj)
+        return tuple(T_new), tuple(rest_new)
+
+    T_out, _ = lax.fori_loop(0, Pnl, step, (T0, rest0))
+    return list(T_out)
 
 
 def _lml_trace_body(
@@ -125,61 +153,101 @@ def _lml_trace_body(
     Pair (i, s), i ≥ s, is handled by the owner of T column i after a
     broadcast of column s; results are psum-reduced at the end.
     ``Z_ext`` is the ℓ-scaled padded input (replicated).
+
+    Same compile-once ``fori_loop``/``switch``/``cond`` structure as
+    :func:`_tri_inv_body` (VERDICT r4 #3) — the unrolled pair loop was the
+    other half of the r4 dryrun's 424 s step-6 compile.
     """
     Pnl = Pl * D
     nd = Z_ext.shape[1]
     zero = jnp.zeros((), jnp.int32)
-    g_amp = jnp.zeros((), jnp.float32)
-    g_ls = jnp.zeros((nd,), jnp.float32)
-    g_noise = jnp.zeros((), jnp.float32)
-    for s in range(Pnl):
-        js, owner = divmod(s, D)
-        Hs = Np - s * block
-        mine_s = (d == owner)
-        Ts = lax.psum(jnp.where(mine_s, T_loc[js], 0.0), axis)[:Hs]
-        # pad to the tallest slot height so every (even masked-out) pair's
-        # static-size slice is in bounds
-        Ts_ext = _pad_rows(Ts, Np + D * block)
-        a_s = alpha_pad[s * block : (s + 1) * block]  # (B, p) static slice
-        cols_s = Z_ext[s * block : (s + 1) * block]  # (B, nd) static slice
-        # j below this can never own a column i = jD+d >= s for any d
-        j_lo = max(0, -(-(s - D + 1) // D))
-        for j in range(j_lo, Pl):
+
+    def step(s, carry):
+        g_amp, g_ls, g_noise = carry
+        js = s // D
+        mine_s = d == (s % D)
+        Ts_own = lax.switch(
+            js, [lambda j=j: _pad_rows(T_loc[j], Np) for j in range(Pl)]
+        )
+        # pad to the tallest slot height (+ D·B) so every (even cond-
+        # skipped) pair's static-size slice is in bounds
+        Ts_ext = _pad_rows(
+            lax.psum(jnp.where(mine_s, Ts_own, 0.0), axis), Np + D * block
+        )
+        off_s = (s * block).astype(jnp.int32)
+        a_s = lax.dynamic_slice(
+            alpha_pad, (off_s, zero), (block, alpha_pad.shape[1])
+        )
+        cols_s = lax.dynamic_slice(Z_ext, (off_s, zero), (block, nd))
+
+        for j in range(Pl):
             i = j * D + d
             need = i >= s
             Hj = Np - j * D * block
             r = (i - s) * block
             r_safe = jnp.clip(r, 0, Np + D * block - Hj).astype(jnp.int32)
-            Tsi = lax.dynamic_slice(Ts_ext, (r_safe, zero), (Hj, block))
-            kinv_blk = _dot(T_loc[j].T, Tsi, precision)  # (B, B) = K⁻¹(i,s)ᵀ…
-            # K⁻¹(i,s) = Σ_m T[m][i]ᵀ T[m][s]; rows of the result index
-            # column-i block rows, columns index column-s block rows.
-            off_i = (i * block).astype(jnp.int32)
-            a_i = lax.dynamic_slice(
-                alpha_pad, (off_i, zero), (block, alpha_pad.shape[1])
+
+            def pair(i=i, j=j, Hj=Hj, r_safe=r_safe):
+                Tsi = lax.dynamic_slice(Ts_ext, (r_safe, zero), (Hj, block))
+                kinv_blk = _dot(T_loc[j].T, Tsi, precision)  # K⁻¹(i,s)ᵀ…
+                # K⁻¹(i,s) = Σ_m T[m][i]ᵀ T[m][s]; rows index column-i
+                # block rows, columns index column-s block rows.
+                off_i = (i * block).astype(jnp.int32)
+                a_i = lax.dynamic_slice(
+                    alpha_pad, (off_i, zero), (block, alpha_pad.shape[1])
+                )
+                G = jnp.zeros((block, block), jnp.float32)
+                for p in range(alpha_pad.shape[1]):
+                    G = G + a_i[:, p, None] * a_s[None, :, p]
+                rows_g = off_i + jnp.arange(block)[:, None]
+                cols_g = off_s + jnp.arange(block)[None, :]
+                w = jnp.where(i == s, 1.0, 2.0)
+                mask = ((rows_g < n) & (cols_g < n)).astype(jnp.float32)
+                Wk = (0.5 * (G - p_out * kinv_blk)) * (w * mask)
+                rows_z = lax.dynamic_slice(Z_ext, (off_i, zero), (block, nd))
+                d2 = jnp.zeros((block, block), jnp.float32)
+                for dim in range(nd):
+                    diff = rows_z[:, dim, None] - cols_s[None, :, dim]
+                    d2 = d2 + diff * diff
+                da = jnp.sum(Wk * (amp * stationary_from_sqdist(d2, family)))
+                Wdk = Wk * (amp * stationary_dk_dd2(d2, family))
+                dl = jnp.stack([
+                    jnp.sum(
+                        Wdk
+                        * (-2.0)
+                        * (rows_z[:, dim, None] - cols_s[None, :, dim]) ** 2
+                    )
+                    for dim in range(nd)
+                ])
+                dn = jnp.where(
+                    i == s, noise * jnp.sum(jnp.diagonal(Wk)), 0.0
+                )
+                return da, dl, dn
+
+            da, dl, dn = lax.cond(
+                need,
+                pair,
+                lambda: (
+                    jnp.zeros((), jnp.float32),
+                    jnp.zeros((nd,), jnp.float32),
+                    jnp.zeros((), jnp.float32),
+                ),
             )
-            G = jnp.zeros((block, block), jnp.float32)
-            for p in range(alpha_pad.shape[1]):
-                G = G + a_i[:, p, None] * a_s[None, :, p]
-            rows_g = off_i + jnp.arange(block)[:, None]
-            cols_g = s * block + jnp.arange(block)[None, :]
-            w = jnp.where(i == s, 1.0, 2.0) * jnp.where(need, 1.0, 0.0)
-            mask = ((rows_g < n) & (cols_g < n)).astype(jnp.float32)
-            Wk = (0.5 * (G - p_out * kinv_blk)) * (w * mask)
-            rows_z = lax.dynamic_slice(Z_ext, (off_i, zero), (block, nd))
-            d2 = jnp.zeros((block, block), jnp.float32)
-            for dim in range(nd):
-                diff = rows_z[:, dim, None] - cols_s[None, :, dim]
-                d2 = d2 + diff * diff
-            g_amp = g_amp + jnp.sum(Wk * (amp * stationary_from_sqdist(d2, family)))
-            dk = amp * stationary_dk_dd2(d2, family)
-            Wdk = Wk * dk
-            for dim in range(nd):
-                diff = rows_z[:, dim, None] - cols_s[None, :, dim]
-                g_ls = g_ls.at[dim].add(jnp.sum(Wdk * (-2.0 * diff * diff)))
-            g_noise = g_noise + jnp.where(
-                i == s, noise * jnp.sum(jnp.diagonal(Wk)), 0.0
-            )
+            g_amp = g_amp + da
+            g_ls = g_ls + dl
+            g_noise = g_noise + dn
+        return g_amp, g_ls, g_noise
+
+    g_amp, g_ls, g_noise = lax.fori_loop(
+        0,
+        Pnl,
+        step,
+        (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((nd,), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        ),
+    )
     g_amp = lax.psum(g_amp, axis)
     g_ls = lax.psum(g_ls, axis)
     g_noise = lax.psum(g_noise, axis)
