@@ -312,9 +312,9 @@ def fit_and_transport_batched(
     eff = gp_core._eff_jitter(src_al.dtype, jitter)
     K_b = K_b + eff * jnp.eye(n, dtype=src_al.dtype)
 
-    from ..ops.batched_linalg import spd_inverse_elast
+    from ..ops.batched_linalg import spd_inverse_elast_auto
 
-    L_e, Kinv_e = spd_inverse_elast(jnp.transpose(K_b, (1, 2, 0)))  # (n,n,E)
+    L_e, Kinv_e = spd_inverse_elast_auto(jnp.transpose(K_b, (1, 2, 0)))  # (n,n,E)
     L_b = jnp.transpose(L_e, (2, 0, 1))
     Kinv_b = jnp.transpose(Kinv_e, (2, 0, 1))
     alpha_b = jnp.einsum(
@@ -388,9 +388,9 @@ def fit_and_transport_batched_opt(
     eff = gp_core._eff_jitter(src_al.dtype, jitter)
     K_b = K_b + eff * jnp.eye(n, dtype=src_al.dtype)
 
-    from ..ops.batched_linalg import spd_inverse_elast
+    from ..ops.batched_linalg import spd_inverse_elast_auto
 
-    L_e, Kinv_e = spd_inverse_elast(jnp.transpose(K_b, (1, 2, 0)))  # (n,n,E)
+    L_e, Kinv_e = spd_inverse_elast_auto(jnp.transpose(K_b, (1, 2, 0)))  # (n,n,E)
     L_b = jnp.transpose(L_e, (2, 0, 1))
     Kinv_b = jnp.transpose(Kinv_e, (2, 0, 1))
     alpha_b = jnp.einsum(
