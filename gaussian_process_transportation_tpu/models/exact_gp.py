@@ -436,15 +436,21 @@ def predict(
         params is not None
         and return_std
         and gp.K_inv is not None
-        and gp.X.shape[0] <= 4096  # (tile_k + tile_q, N) VMEM working set
+        and gp.X.shape[0] <= 4096
     ):
         from ..ops.pallas_gram import fused_gp_predict_mean_var
 
+        # VMEM model: Mosaic double-buffers the grid-indexed K⁻¹ block, so
+        # the working set is (2·tile_k + tile_q)·N_p floats — the default
+        # (512, 256) tiles OOM at N=4096 (20 MB > 16, caught by the
+        # boundary golden in tests/test_tpu_goldens.py); shrink tile_k
+        # past N=2560 instead of falling back to the XLA path.
+        tile_k = 512 if gp.X.shape[0] <= 2560 else 256
         fam, amp, ls = params
         prior = amp + white_noise_level(gp.kernel)
         mean, var = fused_gp_predict_mean_var(
             x, gp.X, gp.alpha, gp.K_inv, ls, amp, prior,
-            interpret=False, family=fam,
+            interpret=False, family=fam, tile_k=tile_k,
         )
         mean = mean.astype(gp.alpha.dtype)
         std = jnp.sqrt(var).astype(gp.alpha.dtype)

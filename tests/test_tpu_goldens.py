@@ -173,7 +173,24 @@ def test_fused_predict_mean_var_on_tpu_vs_f64(N):
     )
     std64 = np.sqrt(np.maximum(var64, 0.0))
     assert np.abs(mean - mean64).max() / np.abs(mean64).max() < 2e-3
-    assert np.abs(std[:, 0] - std64).max() / np.abs(std64).max() < 5e-3
+    # vs f64 the std error is dominated by the f32 K⁻¹'s κ·eps conditioning
+    # loss, which doubles with N (measured: 4e-3 at 2048, 9e-3 at 4096) —
+    # the kernel itself is pinned by the same-precision XLA cross-check
+    tol = 5e-3 if N <= 2048 else 1.5e-2
+    assert np.abs(std[:, 0] - std64).max() / np.abs(std64).max() < tol
+    # same-f32-inputs cross-check: fused kernel vs the XLA KiK path.  The
+    # two differ only in f32 accumulation ORDER, but K⁻¹ entries are ~20
+    # and the quad (≈2.0) cancels down to var ≈ 0.05, so ordering noise is
+    # κ-amplified (measured 2e-3 abs at N=2048, 5e-3 at 4096); the gate
+    # catches gross tile-indexing bugs (which produce O(1) errors), not fp
+    # noise.
+    k_star = gp.kernel(jnp.asarray(Xq, jnp.float32), gp.X)
+    KiK = jnp.dot(k_star, gp.K_inv, precision=jax.lax.Precision.HIGHEST)
+    var_x = gp.kernel.diag(jnp.asarray(Xq, jnp.float32)) - jnp.sum(
+        KiK * k_star, axis=1
+    )
+    std_x = np.sqrt(np.maximum(np.asarray(var_x), 0.0))
+    assert np.abs(std[:, 0] - std_x).max() < 2e-2 * std_x.max()
 
 
 @requires_tpu
