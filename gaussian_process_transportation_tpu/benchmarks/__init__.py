@@ -1,4 +1,4 @@
-from .multi_frame import MultipleReferenceFramesGPT, ablation_study
+from .multi_frame import MultipleReferenceFramesGPT, ablation_study, compare_methods
 from .comparison import run_comparison
 from .statistics import mann_whitney_ranking, ranked_boxplot, ranking_report
 from .baselines import (
@@ -12,6 +12,7 @@ from .baselines import (
 __all__ = [
     "MultipleReferenceFramesGPT",
     "ablation_study",
+    "compare_methods",
     "run_comparison",
     "mann_whitney_ranking",
     "ranked_boxplot",

@@ -150,3 +150,77 @@ def ablation_study(
         out["fde_ood"] = np.asarray(fde_o)
         out["fda_ood"] = np.asarray(fda_o)
     return out
+
+
+_METRIC_TITLES = (
+    ("df", "Frechet Distance"),
+    ("area", "Area btw curves"),
+    ("dtw", "Dynamic Time Warping"),
+    ("fde", "Final Position Error"),
+    ("fda", "Final Orientation Error"),
+)
+
+
+def compare_methods(
+    methods: Optional[Dict[str, object]] = None,
+    number_repetitions: int = 5,
+    path: Optional[str] = None,
+    seed: int = 0,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Cross-method reproduction metrics on the reach_target dataset —
+    the data-collection half of the reference's
+    ``data_analysis_dataset.py`` (its ``*_dataset.npz`` files, here
+    produced in-process from the in-repo baselines).
+
+    Returns metric title → (method name → samples), ready for
+    ``statistics.ranking_report`` / ``statistics.ranked_boxplot``.
+    ``methods`` defaults to GPT + the in-repo DMP / TP-GMM / HMM
+    baselines (each must expose ``load_dataset``/``fit?``/``reproduce``).
+    """
+    if methods is None:
+        from .baselines import (
+            MultipleReferenceFramesDMP,
+            MultipleReferenceFramesHMM,
+            MultipleReferenceFramesTPGMM,
+        )
+
+        methods = {
+            "GPT": MultipleReferenceFramesGPT(optimizer=None),
+            "DMP": MultipleReferenceFramesDMP(),
+            "TPGMM": MultipleReferenceFramesTPGMM(),
+            "HMM": MultipleReferenceFramesHMM(),
+        }
+    rng = np.random.RandomState(seed)
+    samples: Dict[str, Dict[str, list]] = {
+        title: {name: [] for name in methods} for _, title in _METRIC_TITLES
+    }
+    pairs = None
+    for name, policy in methods.items():
+        policy.load_dataset(path)
+        if hasattr(policy, "fit"):
+            policy.fit()
+        n = len(policy.demos_x)
+        if pairs is None:
+            pairs = [
+                (rng.randint(n), k)
+                for _ in range(number_repetitions)
+                for k in range(n)
+            ]
+        import inspect
+
+        takes_source = "index_source" in inspect.signature(
+            policy.reproduce
+        ).parameters
+        for i, k in pairs:
+            if i == k:
+                continue
+            # generative baselines (TP-GMM, HMM+LQR) reproduce FOR a frame
+            # configuration — no source index (reference model_hmm.py /
+            # model_tp_gmm.py semantics)
+            vals = policy.reproduce(i, k) if takes_source else policy.reproduce(k)
+            for (key, title), v in zip(_METRIC_TITLES, vals):
+                samples[title][name].append(float(v))
+    return {
+        title: {name: np.asarray(v) for name, v in per.items()}
+        for title, per in samples.items()
+    }

@@ -779,7 +779,7 @@ def gram_cholesky_solve(
     block: int = 512,
     precision=_HIGHEST,
     interpret: Optional[bool] = None,
-    refine_iters: int = 1,
+    refine_iters: Optional[int] = None,
     family: str = "rbf",
     pivot_rank: Optional[int] = None,
     group: Optional[int] = None,
@@ -799,10 +799,17 @@ def gram_cholesky_solve(
 
     ``group`` (None = auto): above ``_GROUPED_MIN_PANELS`` panels the
     factorization routes to :func:`cholesky_panels_grouped` so compile
-    time stays O(panels/group) pallas instances (VERDICT r4 #3)."""
+    time stays O(panels/group) pallas instances (VERDICT r4 #3).
+
+    ``refine_iters`` None = auto: 1, or 2 from 48 panels up — the
+    left-looking history GEMM's bf16x3 error grows with its K dimension
+    (measured N=40960/HIGH: refine=1 residual 1.2e-2, refine=2 restores
+    1.1e-3 for ~20 ms; at N=10240 refine=1 already gives 1e-3)."""
     panels, n = stationary_gram_panels(
         X, lengthscale, amplitude, noise, block, precision, family
     )
+    if refine_iters is None:
+        refine_iters = 1 if len(panels) < 48 else 2
     if group is None and len(panels) >= _GROUPED_MIN_PANELS:
         group = 4
     if group:

@@ -48,8 +48,10 @@ import jax
 import jax.numpy as jnp
 
 from .blocked_chol import (
+    _GROUPED_MIN_PANELS,
     BlockedCholesky,
     cholesky_panels,
+    cholesky_panels_grouped,
     stationary_from_sqdist,
     stationary_gram_panels,
     symmetric_matvec_panels,
@@ -220,7 +222,10 @@ def _lml_forward(
     panels, _ = stationary_gram_panels(
         X, ls, amp, noise + jitter, block, precision, family
     )
-    chol = cholesky_panels(panels, n, precision, interpret)
+    if len(panels) >= _GROUPED_MIN_PANELS:
+        chol = cholesky_panels_grouped(panels, n, precision, interpret)
+    else:
+        chol = cholesky_panels(panels, n, precision, interpret)
     Yf = Y2.astype(jnp.float32)
     alpha = chol.solve(Yf, precision)
     for _ in range(refine_iters):

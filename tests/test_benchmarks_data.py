@@ -177,6 +177,30 @@ def test_mann_whitney_ranking():
     assert ranked[0][0] == "good" and ranked[0][1] < ranked[1][1]
 
 
+def test_compare_methods_collects_cross_method_samples():
+    """data_analysis_dataset.py data-collection half: same (source,
+    target) pairs for every method, five metric tables out."""
+    from gaussian_process_transportation_tpu.benchmarks import (
+        MultipleReferenceFramesGPT,
+        MultipleReferenceFramesDMP,
+        compare_methods,
+    )
+
+    methods = {
+        "GPT": MultipleReferenceFramesGPT(optimizer=None),
+        "DMP": MultipleReferenceFramesDMP(),
+    }
+    out = compare_methods(methods=methods, number_repetitions=1)
+    assert set(out) == {
+        "Frechet Distance", "Area btw curves", "Dynamic Time Warping",
+        "Final Position Error", "Final Orientation Error",
+    }
+    for per in out.values():
+        assert set(per) == {"GPT", "DMP"}
+        for v in per.values():
+            assert v.ndim == 1 and len(v) >= 5 and np.isfinite(v).all()
+
+
 def test_ranking_report_and_boxplot(tmp_path):
     """Parity surface for data_analysis_dataset.py:23-99 — per-metric
     rankings as text plus the rank-ordered, rank-annotated box plots."""

@@ -117,6 +117,35 @@ def test_gram_cholesky_solve_matches_dense_gp():
     assert np.abs(np.asarray(alpha) - a64).max() / np.abs(a64).max() < 2e-4
 
 
+@pytest.mark.parametrize("group", [2, 3])
+def test_grouped_matches_ungrouped(group):
+    """cholesky_panels_grouped (one pallas call site per group, VERDICT r4
+    #3 compile-cliff fix) vs cholesky_panels and the f64 dense golden."""
+    N, B = 700, 128
+    X = rng.randn(N, 3)
+    Y = rng.randn(N, 2).astype(np.float32)
+    ls = np.ones(3)
+    panels, n = bc.stationary_gram_panels(
+        jnp.asarray(X, jnp.float32), jnp.asarray(ls, jnp.float32), 2.0, 0.1, B
+    )
+    HI = jax.lax.Precision.HIGHEST
+    c0 = bc.cholesky_panels(panels, n, HI, interpret=True)
+    c1 = bc.cholesky_panels_grouped(panels, n, HI, interpret=True, group=group)
+    np.testing.assert_allclose(
+        np.asarray(c0.dense()), np.asarray(c1.dense()), atol=2e-5
+    )
+    a1 = np.asarray(c1.solve(jnp.asarray(Y), HI))
+    D2 = (((X[:, None, :] - X[None, :, :]) / ls) ** 2).sum(-1)
+    Kf = 2.0 * np.exp(-0.5 * D2) + 0.1 * np.eye(N)
+    a64 = np.linalg.solve(Kf, Y.astype(np.float64))
+    assert np.abs(a1 - a64).max() / np.abs(a64).max() < 2e-4
+    assert (
+        abs(float(c1.logdet()) - np.linalg.slogdet(Kf)[1])
+        / abs(np.linalg.slogdet(Kf)[1])
+        < 1e-5
+    )
+
+
 def test_blocked_cholesky_under_jit():
     n, B = 384, 128
     K = _spd(n)
