@@ -801,15 +801,16 @@ def gram_cholesky_solve(
     factorization routes to :func:`cholesky_panels_grouped` so compile
     time stays O(panels/group) pallas instances (VERDICT r4 #3).
 
-    ``refine_iters`` None = auto: 1, or 2 from 48 panels up — the
+    ``refine_iters`` None = auto: 1, or 2 from 32 panels up — the
     left-looking history GEMM's bf16x3 error grows with its K dimension
-    (measured N=40960/HIGH: refine=1 residual 1.2e-2, refine=2 restores
-    1.1e-3 for ~20 ms; at N=10240 refine=1 already gives 1e-3)."""
+    (measured HIGH refine=1 residuals: 1e-3 at N=10240, 9.5e-3 at 20480,
+    1.2e-2 at 40960; one extra refinement restores ~1e-3 for ~10% of the
+    runtime at 20480 and ~4% at 40960)."""
     panels, n = stationary_gram_panels(
         X, lengthscale, amplitude, noise, block, precision, family
     )
     if refine_iters is None:
-        refine_iters = 1 if len(panels) < 48 else 2
+        refine_iters = 1 if len(panels) < _GROUPED_MIN_PANELS else 2
     if group is None and len(panels) >= _GROUPED_MIN_PANELS:
         group = 4
     if group:

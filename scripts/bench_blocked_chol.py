@@ -93,7 +93,12 @@ else:
     def _residual(Xs, Ys, a):
         panels, nn = stationary_gram_panels(
             Xs, lsd, amp, noise, block=BLOCK, precision=PREC, family=FAMILY)
-        r = symmetric_matvec_panels(panels, a, nn, precision=PREC) - Ys
+        # diagnostic matvec at HIGHEST regardless of PREC: a bf16x3 (HIGH)
+        # matvec has its own ~1e-2 error floor at these K dims and masks
+        # the true solve residual (measured r5: 1.0e-2 "residual" at
+        # N=20480 where the HIGHEST matvec shows the real 5.0e-4)
+        r = symmetric_matvec_panels(
+            panels, a, nn, precision=jax.lax.Precision.HIGHEST) - Ys
         return jnp.abs(r).max() / jnp.abs(Ys).max()
 
     print(f"residual |K a - y|/|y| (device, panel matvec): "
