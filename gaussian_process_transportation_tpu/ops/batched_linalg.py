@@ -169,9 +169,10 @@ def spd_inverse_elast_fused(
     return L, Kinv
 
 
-# Fused-kernel admission: n=32 puts ~4 n²-sized tile lists at
-# 4·32²·512·4 ≈ 8.4 MB of VMEM (measured OOM at lanes=1024 already for
-# n=20); beyond it the unrolled XLA path is also closer to competitive.
+# Fused-kernel admission and VMEM-fitting lane width (hardware-validated
+# boundaries: n=20/lanes=1024 and n=32/lanes=512 OOM the 16 MB scoped
+# VMEM — the kernel holds ~4 n²-sized tile lists — while n=24/512 and
+# n=32/256 compile and match the unrolled path).
 _FUSED_MAX_N = 32
 
 
@@ -179,8 +180,11 @@ def spd_inverse_elast_auto(K: Array) -> Tuple[Array, Array]:
     """(L, K⁻¹) of SPD K (n, n, E): the fused Pallas kernel on TPU for
     small n (6× the unrolled XLA chain at n=20, E=16384 — 2.7 vs 16.3 ms
     on v5e-1), the unrolled E-last path elsewhere."""
-    if K.shape[0] <= _FUSED_MAX_N and jax.default_backend() == "tpu":
-        return spd_inverse_elast_fused(K, interpret=False)
+    n = K.shape[0]
+    if n <= _FUSED_MAX_N and jax.default_backend() == "tpu":
+        return spd_inverse_elast_fused(
+            K, interpret=False, lanes=512 if n <= 24 else 256
+        )
     return spd_inverse_elast(K)
 
 
